@@ -1,0 +1,345 @@
+"""Constraint suite -> single-pass Column compiler.
+
+This is the vectorized re-expression of the reference's validation CE
+(/root/reference/src/FSharp.Data.Validation/VCtx.fs): every reference
+combinator becomes a column expression evaluated for all rows at once, with
+refute-ordering compiled into cumulative per-branch masks instead of control
+flow.
+
+Semantics mapping (pinned by tests/test_spark_suite.py against the pure
+kernel in ``core``):
+
+- one *branch* per field scope (``withField``, VCtx.fs:80-96) or global scope
+  (``withValue``, VCtx.fs:106-107);
+- ``refuteWith`` (VCtx.fs:213-219): on failure, sets the branch's cumulative
+  ``refuted`` mask — later constraints in the SAME branch are skipped for
+  that row (``bind`` short-circuit, VCtx.fs:15-18). Branches are independent
+  (applicative ``and!``, VCtx.fs:53-63), so other branches keep evaluating;
+- ``disputeWith*`` (VCtx.fs:309-326,405-411): failure appended, evaluation
+  continues (vectorized "continue anyway" is free);
+- ``optional`` (VCtx.fs:110-133): NULL input skips every guarded check;
+- element constraints (``disputeAnyWith*``, VCtx.fs:331-362): higher-order
+  ``transform`` over array columns, failures filed under ``"[i]"`` paths —
+  zero per-row Python;
+- ``MergeSources`` collapse: a row with ANY failure emits no valid-output
+  row — ``run`` splits into (valid_df, violations_df);
+- failure paths are name chains rendered camelCase-dotted exactly like the
+  reference serializer (Proof.fs:13-25).
+
+Scale notes: the whole suite compiles to ONE ``select`` (no chained
+withColumn), so Catalyst fuses every predicate into a single whole-stage
+codegen pass over the scan; only referenced columns are read (column
+pruning); no shuffle is introduced — row validation is embarrassingly
+parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..core.names import render_path
+
+ColumnLike = Union[Column, str]
+
+REFUTE = "refute"
+DISPUTE = "dispute"
+EACH_DISPUTE = "each_dispute"
+EACH_REFUTE = "each_refute"
+
+
+def _col(c: ColumnLike) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+@dataclass
+class Constraint:
+    code: str
+    kind: str
+    path: Tuple[str, ...]  # () = global/type-level
+    ok: Optional[Column]  # boolean Column; NULL counts as "check skipped"
+    branch: str
+    guard: Optional[Column] = None  # applicability (optional-wrapping etc.)
+    # element constraints: array column + per-element ok fn
+    array_col: Optional[Column] = None
+    elem_ok: Optional[Callable[[Column, Column], Column]] = None
+
+
+class _Branch:
+    """Fluent scope for one field (or the global scope) — mirrors one
+    ``validation { withField ...; ...; qed }`` CE block."""
+
+    def __init__(self, suite: "Suite", name: Optional[str], column: Optional[ColumnLike]):
+        self.suite = suite
+        self.name = name  # None => global scope
+        self.column = _col(column) if column is not None else None
+        self._optional_guard: Optional[Column] = None
+
+    # -- scope plumbing -------------------------------------------------
+    @property
+    def _path(self) -> Tuple[str, ...]:
+        return (self.name,) if self.name is not None else ()
+
+    @property
+    def _branch_key(self) -> str:
+        return self.name if self.name is not None else "$global"
+
+    def _add(self, code: str, kind: str, ok: Optional[Column], **kw) -> "_Branch":
+        self.suite._constraints.append(
+            Constraint(
+                code=code,
+                kind=kind,
+                path=self._path,
+                ok=ok,
+                branch=self._branch_key,
+                guard=self._optional_guard,
+                **kw,
+            )
+        )
+        return self
+
+    # -- refute family ----------------------------------------------------
+    def required(self, code: str) -> "_Branch":
+        """refuteWith(isRequired ...) — NOT NULL gate (Library.fs:16-19)."""
+        return self._add(code, REFUTE, self.column.isNotNull())
+
+    def refute_check(self, code: str, ok: Column) -> "_Branch":
+        """General refuting predicate: on failure, later checks in this
+        branch are skipped for the row (VCtx.fs:213-219)."""
+        return self._add(code, REFUTE, ok)
+
+    # -- dispute family ----------------------------------------------------
+    def check(self, code: str, ok: Column) -> "_Branch":
+        """disputeWithFact (VCtx.fs:405-411): accumulate and continue."""
+        return self._add(code, DISPUTE, ok)
+
+    def isin(self, code: str, allowed: Sequence) -> "_Branch":
+        """hasElem flipped — enum membership (Library.fs:97)."""
+        return self.check(code, self.column.isin(list(allowed)))
+
+    def rlike(self, code: str, pattern: str) -> "_Branch":
+        """pattern-style validator (reference fixtures use Regex.IsMatch)."""
+        return self.check(code, self.column.rlike(pattern))
+
+    def min_length(self, code: str, n: int) -> "_Branch":
+        """minLength (Library.fs:61)."""
+        return self.check(code, F.length(self.column) >= n)
+
+    def max_length(self, code: str, n: int) -> "_Branch":
+        """maxLength (Library.fs:65)."""
+        return self.check(code, F.length(self.column) <= n)
+
+    def is_length(self, code: str, n: int) -> "_Branch":
+        """isLength (Library.fs:69)."""
+        return self.check(code, F.length(self.column) == n)
+
+    def not_empty(self, code: str) -> "_Branch":
+        """isNotNull = non-emptiness, NOT SQL NULL (Library.fs:57 and
+        tests/.../Tests/Library.fs:126-139)."""
+        return self.check(code, F.length(self.column) > 0)
+
+    def required_when(self, code: str, cond: Column) -> "_Branch":
+        """isRequiredWhen (Library.fs:24-30) — disputing conditional presence."""
+        return self._add(
+            code,
+            DISPUTE,
+            F.when(cond, self.column.isNotNull()).otherwise(F.lit(True)),
+        )
+
+    # -- element constraints over array columns ------------------------------
+    def each_check(
+        self, code: str, elem_ok: Callable[[Column], Column]
+    ) -> "_Branch":
+        """disputeAnyWithFact per element (VCtx.fs:416-429): failures filed
+        under ``(field, "[i]")`` paths via a higher-order transform."""
+        return self._add(
+            code,
+            EACH_DISPUTE,
+            None,
+            array_col=self.column,
+            elem_ok=lambda x, i: elem_ok(x),
+        )
+
+    def each_refute_check(
+        self, code: str, elem_ok: Callable[[Column], Column]
+    ) -> "_Branch":
+        """refuteEachWith (VCtx.fs:236-248): any failing element refutes the
+        whole branch (failures still filed per element)."""
+        return self._add(
+            code,
+            EACH_REFUTE,
+            None,
+            array_col=self.column,
+            elem_ok=lambda x, i: elem_ok(x),
+        )
+
+    # -- optional --------------------------------------------------------------
+    def optional(self) -> "_Branch":
+        """Subsequent checks in this branch skip NULL values
+        (``optional``, VCtx.fs:110-133: None passes through untouched)."""
+        g = self.column.isNotNull()
+        self._optional_guard = g if self._optional_guard is None else (self._optional_guard & g)
+        return self
+
+    # -- chain back to suite ------------------------------------------------------
+    def field(self, name: str, column: Optional[ColumnLike] = None) -> "_Branch":
+        return self.suite.field(name, column)
+
+    def global_(self) -> "_Branch":
+        return self.suite.global_()
+
+    def done(self) -> "Suite":
+        return self.suite
+
+
+FAILURE_STRUCT = "struct<path:array<string>,code:string,ord:int>"
+
+
+class Suite:
+    """An ordered constraint suite over one table — the engine equivalent of
+    a whole ``validation { ... }`` record CE with one branch per field.
+
+    Build with the fluent API, then ``with_failures`` / ``run``. The suite is
+    a *logical plan builder*: nothing executes until the returned DataFrames
+    are acted on, so Catalyst sees every predicate at once.
+    """
+
+    def __init__(self, name: str = "suite"):
+        self.name = name
+        self._constraints: List[Constraint] = []
+
+    # -- builders -----------------------------------------------------------
+    def field(self, name: str, column: Optional[ColumnLike] = None) -> _Branch:
+        return _Branch(self, name, column if column is not None else name)
+
+    def global_(self) -> _Branch:
+        return _Branch(self, None, None)
+
+    @property
+    def constraints(self) -> List[Constraint]:
+        return list(self._constraints)
+
+    @property
+    def codes(self) -> List[str]:
+        return [c.code for c in self._constraints]
+
+    # -- compilation ----------------------------------------------------------
+    def failures_column(self) -> Column:
+        """Compile the whole suite into ONE array<struct> expression."""
+        contributions: List[Column] = []
+        refuted: dict[str, Column] = {}
+        for ord_, c in enumerate(self._constraints):
+            prev_refuted = refuted.get(c.branch, F.lit(False))
+            if c.kind in (REFUTE, DISPUTE):
+                fail = ~F.coalesce(c.ok, F.lit(True))  # NULL check => skipped
+                if c.guard is not None:
+                    fail = fail & c.guard
+                fail = fail & ~prev_refuted
+                entry = F.when(
+                    fail,
+                    F.struct(
+                        F.array(*[F.lit(p) for p in c.path]).alias("path"),
+                        F.lit(c.code).alias("code"),
+                        F.lit(ord_).alias("ord"),
+                    ),
+                )
+                contributions.append(F.array(entry))
+                if c.kind == REFUTE:
+                    refuted[c.branch] = prev_refuted | fail
+            else:  # element constraints
+                base = c.path
+
+                def mk_entries(arr: Column, ord_=ord_, base=base, c=c) -> Column:
+                    return F.transform(
+                        arr,
+                        lambda x, i: F.when(
+                            ~F.coalesce(c.elem_ok(x, i), F.lit(True)),
+                            F.struct(
+                                F.array(
+                                    *[F.lit(p) for p in base],
+                                    F.concat(F.lit("["), i.cast("string"), F.lit("]")),
+                                ).alias("path"),
+                                F.lit(c.code).alias("code"),
+                                F.lit(ord_).alias("ord"),
+                            ),
+                        ),
+                    )
+
+                arr_guard = c.array_col.isNotNull()
+                if c.guard is not None:
+                    arr_guard = arr_guard & c.guard
+                entries = F.when(
+                    arr_guard & ~prev_refuted, mk_entries(c.array_col)
+                ).otherwise(F.array().cast(f"array<{FAILURE_STRUCT}>"))
+                contributions.append(entries)
+                if c.kind == EACH_REFUTE:
+                    any_fail = F.coalesce(
+                        F.exists(c.array_col, lambda x: ~F.coalesce(c.elem_ok(x, F.lit(0)), F.lit(True))),
+                        F.lit(False),
+                    )
+                    if c.guard is not None:
+                        any_fail = any_fail & c.guard
+                    refuted[c.branch] = prev_refuted | (any_fail & ~prev_refuted)
+        if not contributions:
+            return F.array().cast(f"array<{FAILURE_STRUCT}>")
+        return F.array_compact(F.concat(*contributions)).alias("failures")
+
+    def with_failures(self, df: DataFrame) -> DataFrame:
+        """df + ``failures`` column (array<struct<path,code,ord>>), one pass."""
+        return df.select("*", self.failures_column().alias("failures"))
+
+    def run(self, df: DataFrame, key_cols: Sequence[str]) -> "SuiteResult":
+        """Split into (valid_df, violations_df) — the vectorized
+        ``fromVCtx`` + MergeSources collapse (Library.fs:8-12, VCtx.fs:53-63):
+        a row with ANY failure produces no valid-output row."""
+        flagged = self.with_failures(df)
+        valid = flagged.filter(F.size("failures") == 0).drop("failures")
+        violations = (
+            flagged.filter(F.size("failures") > 0)
+            .select(*key_cols, F.explode("failures").alias("f"))
+            .select(
+                *key_cols,
+                F.col("f.path").alias("path"),
+                # camelCase-dotted rendering ≅ reference serializer
+                # (Proof.fs:13-25): first char lowered per segment
+                F.array_join(
+                    F.transform(
+                        "f.path",
+                        lambda s: F.concat(
+                            F.lower(F.substring(s, 1, 1)),
+                            F.substring(s, 2, 2_000_000),
+                        ),
+                    ),
+                    ".",
+                ).alias("path_str"),
+                F.col("f.code").alias("code"),
+                F.col("f.ord").alias("ord"),
+            )
+        )
+        return SuiteResult(valid, violations, self)
+
+
+@dataclass
+class SuiteResult:
+    """(valid_df, violations_df) pair ≅ Proof.toResult (Proof.fs:120-123);
+    the pipeline-gate shape of the Giraffe integration
+    (src/FSharp.Data.Validation.Giraffe/Library.fs:15-36)."""
+
+    valid: DataFrame
+    violations: DataFrame
+    suite: Suite
+
+    def verdict(self, partition_cols: Sequence[str], df: DataFrame) -> DataFrame:
+        """Per-partition pass/fail + metrics (north rule): rows scanned,
+        violations, pass = no violations. Partial aggregation (map-side
+        combine) keeps this a single shuffle at any scale."""
+        flagged = self.suite.with_failures(df)
+        return flagged.groupBy(*partition_cols).agg(
+            F.count(F.lit(1)).alias("rows_scanned"),
+            F.sum((F.size("failures") > 0).cast("long")).alias("rows_with_violations"),
+            F.sum(F.size("failures")).alias("violations"),
+            F.lit(len(self.suite.constraints)).alias("constraints_evaluated"),
+            (F.sum(F.size("failures")) == 0).alias("pass"),
+        )

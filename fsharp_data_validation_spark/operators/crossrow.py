@@ -1,0 +1,117 @@
+"""Cross-row constraints — the table-level checks the reference cannot
+express (single-value library; §2.8 of SURVEY.md) but the north rule
+requires: uniqueness, referential integrity, ordering/ts-gap.
+
+Scale design (10^12 turns):
+- uniqueness: hash aggregation with map-side partial combine — one shuffle on
+  the key. Keys ``(conv_id, turn_idx)`` are near-unique, so per-group state is
+  tiny; hot conv_ids do NOT skew this shuffle because turn_idx spreads them.
+  For pathological single-key floods, ``salt`` splits the count into a salted
+  partial + final stage.
+- referential: the catalog is tiny — broadcast LEFT ANTI join, no shuffle of
+  the fact side.
+- ordering: per-conversation windows. Window partitions are bounded by the
+  max conversation length (documented assumption), so no conv_id salting is
+  needed for the window itself; AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def uniqueness_violations(
+    df: DataFrame, keys: Sequence[str], salt_buckets: int = 0
+) -> DataFrame:
+    """Key groups with more than one row -> (keys..., n_dups).
+
+    With ``salt_buckets > 0``, counts are computed in two stages —
+    ``groupBy(keys, salt)`` partial then ``groupBy(keys)`` final — which
+    bounds per-task state when a single key floods (skew salting per
+    SURVEY.md §4). Partial aggregation already gives map-side combine in the
+    unsalted path, so salting is only for adversarial key distributions.
+    """
+    if salt_buckets and salt_buckets > 1:
+        salted = df.groupBy(
+            *keys, (F.spark_partition_id() % salt_buckets).alias("_salt")
+        ).agg(F.count(F.lit(1)).alias("_partial"))
+        counts = salted.groupBy(*keys).agg(F.sum("_partial").alias("n_dups"))
+    else:
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dups"))
+    return counts.filter(F.col("n_dups") > 1)
+
+
+def referential_violations(
+    df: DataFrame,
+    fk_col: str,
+    catalog: DataFrame,
+    pk_col: str,
+    out_cols: Sequence[str],
+) -> DataFrame:
+    """Rows whose non-NULL ``fk_col`` has no match in the catalog
+    (hasElem-at-scale, Library.fs:97 -> broadcast LEFT ANTI join)."""
+    cat = F.broadcast(catalog.select(F.col(pk_col).alias(fk_col)).distinct())
+    return (
+        df.filter(F.col(fk_col).isNotNull())
+        .join(cat, on=fk_col, how="left_anti")
+        .select(*out_cols)
+    )
+
+
+def referential_passes(
+    df: DataFrame, fk_col: str, catalog: DataFrame, pk_col: str
+) -> DataFrame:
+    """LEFT SEMI companion (valid side of the referential gate)."""
+    cat = F.broadcast(catalog.select(F.col(pk_col).alias(fk_col)).distinct())
+    return df.filter(F.col(fk_col).isNotNull()).join(cat, on=fk_col, how="left_semi")
+
+
+def ordering_violations(
+    df: DataFrame,
+    part_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Timestamp regressions against turn ordering: within a conversation
+    ordered by ``(turn_idx, ts)`` (total order; ts breaks duplicate-turn
+    ties deterministically), flag rows where turn_idx advanced but ts went
+    backwards. ≅ lag-window re-expression of per-turn ordering invariants."""
+    w = Window.partitionBy(part_col).orderBy(idx_col, ts_col)
+    lagged = df.select(
+        part_col,
+        idx_col,
+        ts_col,
+        F.lag(idx_col).over(w).alias("_prev_idx"),
+        F.lag(ts_col).over(w).alias("_prev_ts"),
+    )
+    return lagged.filter(
+        (F.col("_prev_idx").isNotNull())
+        & (F.col(idx_col) > F.col("_prev_idx"))
+        & (F.col(ts_col) < F.col("_prev_ts"))
+    ).select(
+        part_col,
+        idx_col,
+        F.col(ts_col),
+        F.col("_prev_ts").alias("prev_ts"),
+    )
+
+
+def turn_gap_seconds(
+    df: DataFrame,
+    part_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-turn gap to the previous turn in whole seconds (NULL for the
+    first turn of a conversation). Input to ts-gap stats and drift."""
+    w = Window.partitionBy(part_col).orderBy(idx_col, ts_col)
+    return df.select(
+        part_col,
+        idx_col,
+        ts_col,
+        (
+            F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+        ).alias("gap_s"),
+    )

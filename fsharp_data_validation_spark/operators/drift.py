@@ -1,0 +1,74 @@
+"""Distribution-drift checks (KS / PSI) — north-rule requirement with no
+reference counterpart (SURVEY.md §2.8).
+
+Both are computed from *histograms* built with pure DataFrame math (one
+aggregation pass per segment, mergeable, no per-row Python): PSI is a
+closed-form sum over matched buckets; KS is the max |ECDF_a - ECDF_b| over
+bucket boundaries via window cumulative sums. Histograms are a few KB
+regardless of input scale, so the final arithmetic is negligible — the cost
+is one scan + one tiny shuffle per segment, which survives 100x scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+EPS = 1e-6
+
+
+def bucketize(df: DataFrame, value_col: str, bucket_width: float, n_buckets: int) -> DataFrame:
+    """Fixed-width bucketing clamped to [0, n_buckets-1]; NULLs dropped."""
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    return df.filter(F.col(value_col).isNotNull()).select(b.alias("bucket"))
+
+
+def histogram(df: DataFrame, value_col: str, bucket_width: float, n_buckets: int) -> DataFrame:
+    return (
+        bucketize(df, value_col, bucket_width, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _joined_hist(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
+    a = hist_a.select("bucket", F.col("n").alias("na"))
+    b = hist_b.select("bucket", F.col("n").alias("nb"))
+    return a.join(b, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("na", F.lit(0)).alias("na"),
+        F.coalesce("nb", F.lit(0)).alias("nb"),
+    )
+
+
+def psi(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
+    """Population Stability Index between two histograms:
+    sum((p - q) * ln(p / q)) with epsilon-clamped proportions.
+    Returns a single row (psi)."""
+    j = _joined_hist(hist_a, hist_b)
+    totals = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    p = F.greatest(F.col("na") / F.col("ta"), F.lit(EPS))
+    q = F.greatest(F.col("nb") / F.col("tb"), F.lit(EPS))
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(((p - q) * F.log(p / q)).alias("term"))
+        .agg(F.round(F.sum("term"), round_to).alias("psi"))
+    )
+
+
+def ks(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
+    """Kolmogorov-Smirnov statistic from bucketed ECDFs:
+    max |cum_a/total_a - cum_b/total_b| over bucket boundaries.
+    (Exact for the bucketed distributions; bucket width bounds the error vs
+    the continuous statistic.) Returns a single row (ks)."""
+    j = _joined_hist(hist_a, hist_b)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    totals = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    return (
+        j.select("bucket", F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb"))
+        .crossJoin(F.broadcast(totals))
+        .select(F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")).alias("d"))
+        .agg(F.round(F.max("d"), round_to).alias("ks"))
+    )

@@ -1,0 +1,184 @@
+"""Per-column statistics — the dataset-profile side of the north rule:
+null rate, distinct count (exact + HLL sketch), min/max, quantiles
+(built-in approx + t-digest via Arrow-batched applyInPandas).
+
+≅ the reference's ``flattenProofs``/``Proof.combine`` aggregation semantics
+(Library.fs:113-115, Proof.fs:102-113): every statistic here is an
+associative merge, so Spark's partial (map-side) + final aggregation applies
+— one pass, one small shuffle, any scale.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def column_profile(
+    df: DataFrame, cols: Sequence[str], exact_distinct: bool = True, round_to: int = 4
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, null_rate, n_distinct).
+
+    Single aggregation pass over the table: all per-column measures are
+    computed in one ``agg`` and unpivoted with ``stack`` — the scan is read
+    once regardless of column count. ``exact_distinct=False`` switches to
+    ``approx_count_distinct`` (HLL++, mergeable sketch) for the 100 TB path.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"))
+        if exact_distinct:
+            aggs.append(F.countDistinct(F.col(c)).alias(f"_dist_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"_dist_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nulls_{c}, _dist_{c}" for c in cols
+    )
+    return (
+        wide.selectExpr(
+            "_n",
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)",
+        )
+        .select(
+            "col_name",
+            F.col("_n").alias("n_rows"),
+            "n_nulls",
+            F.round(F.col("n_nulls") / F.col("_n"), round_to).alias("null_rate"),
+            "n_distinct",
+        )
+    )
+
+
+def numeric_minmax(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """(column, min_value, max_value) for numeric/orderable columns, one pass."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("double").alias(f"_min_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"_max_{c}"))
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', _min_{c}, _max_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, min_value, max_value)"
+    )
+
+
+def exact_quantiles(
+    df: DataFrame, col: str, qs: Sequence[float], round_to: int = 4
+) -> DataFrame:
+    """Exact continuous-interpolation percentiles (built-in ``percentile``)
+    — the oracle-checkable variant; use t-digest below at scale."""
+    exprs = [
+        F.round(F.expr(f"percentile({col}, {q})"), round_to).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return df.agg(*exprs)
+
+
+def approx_quantiles(df: DataFrame, col: str, qs: Sequence[float]) -> DataFrame:
+    """Built-in mergeable sketch (``percentile_approx``; GK-style) —
+    single-pass, partial-aggregating, the default at 100 TB."""
+    exprs = [
+        F.expr(f"percentile_approx({col}, {q}, 10000)").alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return df.agg(*exprs)
+
+
+# --- t-digest quantiles (Arrow-batched; zero per-row Python) -------------------
+#
+# Partition-local digests built vectorized over numpy arrays inside
+# applyInPandas, merged on the driver (digests are ~KB each). This follows the
+# published t-digest merging-digest algorithm (Dunning & Ertl,
+# "Computing Extremely Accurate Quantiles Using t-Digests", 2019).
+
+
+def _compress(means, weights, delta: int):
+    import numpy as np
+
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = weights.sum()
+    if total == 0:
+        return means[:0], weights[:0]
+    out_m: List[float] = []
+    out_w: List[float] = []
+    cum = 0.0
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    for m, w in zip(means[1:], weights[1:]):
+        q = (cum + cur_w / 2.0) / total
+        limit = 4.0 * total * q * (1.0 - q) / delta
+        if cur_w + w <= max(limit, 1.0):
+            cur_m = (cur_m * cur_w + float(m) * float(w)) / (cur_w + float(w))
+            cur_w += float(w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    import numpy as np
+
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def tdigest_quantiles(
+    df: DataFrame, col: str, qs: Sequence[float], delta: int = 200
+) -> Dict[str, float]:
+    """Distributed t-digest: per-partition digests via applyInPandas (Arrow
+    batches; numpy-vectorized, no per-row Python), tiny driver-side merge.
+    Returns {"q50": ..., ...}. Deterministic for a fixed partitioning."""
+    import numpy as np
+
+    schema = StructType(
+        [
+            StructField("means", ArrayType(DoubleType())),
+            StructField("weights", ArrayType(DoubleType())),
+        ]
+    )
+
+    def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf[col].dropna().to_numpy(dtype=float)
+        if len(vals) == 0:
+            return pd.DataFrame({"means": [[]], "weights": [[]]})
+        m, w = _compress(vals, np.ones_like(vals), delta)
+        return pd.DataFrame({"means": [m.tolist()], "weights": [w.tolist()]})
+
+    part = (
+        df.select(F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .applyInPandas(lambda pdf: per_partition(pdf), schema=schema)
+        .collect()
+    )
+    means = np.concatenate([np.asarray(r["means"], dtype=float) for r in part]) if part else np.array([])
+    weights = np.concatenate([np.asarray(r["weights"], dtype=float) for r in part]) if part else np.array([])
+    if len(means) == 0:
+        return {f"q{int(q * 100)}": float("nan") for q in qs}
+    means, weights = _compress(means, weights, delta)
+    cum = weights.cumsum() - weights / 2.0
+    total = weights.sum()
+    out = {}
+    for q in qs:
+        target = q * total
+        idx = int(np.searchsorted(cum, target))
+        if idx <= 0:
+            v = means[0]
+        elif idx >= len(means):
+            v = means[-1]
+        else:
+            lo, hi = cum[idx - 1], cum[idx]
+            frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
+            v = means[idx - 1] + frac * (means[idx] - means[idx - 1])
+        out[f"q{int(q * 100)}"] = float(v)
+    return out
