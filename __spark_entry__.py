@@ -27,6 +27,7 @@ from fsharp_data_validation_spark.operators.crossrow import (
 from fsharp_data_validation_spark.operators.drift import histogram, ks, psi
 from fsharp_data_validation_spark.operators.stats import column_profile, exact_quantiles
 from fsharp_data_validation_spark.operators.transcript_suite import transcript_row_suite
+from fsharp_data_validation_spark.sources.documents import with_docs, with_vecs
 from fsharp_data_validation_spark.sources.transcripts import (
     ROLES,
     derive_transcripts,
@@ -150,6 +151,112 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks(a, b)
 
 
+# --- training-data pipeline: dedup / text / similarity ----------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy (map-side combine, one shuffle)."""
+    from fsharp_data_validation_spark.operators.dedup import exact_duplicates
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return exact_duplicates(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
+    from fsharp_data_validation_spark.operators.dedup import ngram_jaccard_pairs
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return ngram_jaccard_pairs(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 16x2 banded LSH -> exact-Jaccard verify; checked
+    against the exact-pairs oracle (high-recall banding)."""
+    from fsharp_data_validation_spark.operators.dedup import minhash_lsh_pairs
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return minhash_lsh_pairs(load_docs(spark, sf_dir), "doc_id", "text", 3, 32, 16, 0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs (hamming <= 3)."""
+    from fsharp_data_validation_spark.operators.dedup import simhash_pairs
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return simhash_pairs(load_docs(spark, sf_dir), "doc_id", "text", 3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fsharp_data_validation_spark.operators.text import token_count
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    t = token_count(load_docs(spark, sf_dir), "doc_id", "text")
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "bpe_est",
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fsharp_data_validation_spark.operators.text import quality_score
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    t = quality_score(load_docs(spark, sf_dir), "doc_id", "text")
+    return t.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "alpha_ratio",
+        "mean_word_len",
+        "stopword_ratio",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fsharp_data_validation_spark.operators.text import lang_id
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return lang_id(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fsharp_data_validation_spark.operators.text import fingerprint
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return fingerprint(load_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for query vectors (vec_id % 100 == 0):
+    broadcast queries x one scan of the vectors."""
+    from fsharp_data_validation_spark.operators.similarity import brute_force_topk
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    vecs = load_vecs(spark, sf_dir)
+    return brute_force_topk(vecs, vecs.filter(F.col("vec_id") % 100 == 0), k=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (sim >= 0.8, exact form)."""
+    from fsharp_data_validation_spark.operators.similarity import near_dup_pairs
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    return near_dup_pairs(load_vecs(spark, sf_dir), threshold=0.8)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: sign-sketch buckets (Arrow pandas UDF) -> verify.
+    Approximate by construction — rows-only check (no oracle)."""
+    from fsharp_data_validation_spark.operators.similarity import lsh_near_dup_pairs
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    return lsh_near_dup_pairs(load_vecs(spark, sf_dir), threshold=0.8)
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (relational agg coverage)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -181,6 +288,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "q1_pricing": q_q1_pricing,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_topk": q_ann_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -238,6 +356,59 @@ FROM transcripts
 WHERE text IS NOT NULL AND CAST(FLOOR(epoch(ts)) AS BIGINT) {op} (SELECT mid FROM m)
 GROUP BY 1
 """
+
+
+# shingle sets + exact-Jaccard pairs in DuckDB (oracle for both the exact
+# inverted-index query AND the LSH+verify query — high-recall banding means
+# they agree)
+_JACCARD_ORACLE = """
+, d AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+  WHERE len(w) >= 3
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS sim
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+) p WHERE sim >= 0.8
+"""
+
+_SIMHASH_BITS_SQL = ", ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(60)
+)
+_SIMHASH_SIG_SQL = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE CAST(0 AS BIGINT) END)"
+    for i in range(60)
+)
+
+_SIMHASH_ORACLE = f"""
+, words AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM docs
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM words WHERE length(w) > 0
+), bits AS (
+  SELECT doc_id, {_SIMHASH_BITS_SQL} FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_SIMHASH_SIG_SQL} AS simhash FROM bits
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+_STOPWORDS = "'the','a','and','of','to','in'"
+
+_COSINE_SQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -331,6 +502,73 @@ def oracle_sql() -> dict[str, str]:
               FROM j
             ) t
             """
+        ),
+        "dedup_exact": with_docs(
+            "SELECT content_hash, n_dups, min_id FROM ("
+            "  SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,"
+            "         MIN(doc_id) AS min_id FROM docs GROUP BY 1"
+            ") g WHERE n_dups > 1"
+        ),
+        "ngram_jaccard": with_docs(_JACCARD_ORACLE),
+        "minhash_lsh": with_docs(_JACCARD_ORACLE),
+        "simhash": with_docs(_SIMHASH_ORACLE),
+        "token_count": with_docs(
+            "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(CEIL(length(text) / 4.0) AS BIGINT) AS bpe_est FROM docs"
+        ),
+        "text_quality": with_docs(
+            "SELECT doc_id, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, "
+            "ROUND(length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio, "
+            "ROUND((length(text) - len(string_split(text,' ')) + 1) * 1.0 / len(string_split(text,' ')), 4) AS mean_word_len, "
+            f"ROUND(len(list_filter(string_split(text,' '), w -> w IN ({_STOPWORDS}))) * 1.0 / len(string_split(text,' ')), 4) AS stopword_ratio "
+            "FROM docs"
+        ),
+        "lang_id": with_docs(
+            """
+            SELECT doc_id,
+              CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                   WHEN s_es > 0 AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+                   WHEN s_de > 0 AND s_de >= s_fr THEN 'de'
+                   WHEN s_fr > 0 THEN 'fr'
+                   ELSE 'und' END AS lang_pred
+            FROM (
+              SELECT doc_id,
+                len(list_filter(string_split(text,' '), w -> w IN ('the','and','of'))) AS s_en,
+                len(list_filter(string_split(text,' '), w -> w IN ('el','la','que'))) AS s_es,
+                len(list_filter(string_split(text,' '), w -> w IN ('der','die','und'))) AS s_de,
+                len(list_filter(string_split(text,' '), w -> w IN ('le','les','des'))) AS s_fr
+              FROM docs
+            ) s
+            """
+        ),
+        "fingerprint": with_docs(
+            "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            "string_split(lower(text), ' '))), ' ')) AS fp FROM docs"
+        ),
+        "ann_topk": with_vecs(
+            f"""
+            , q AS (SELECT vec_id AS query_id, e AS qe FROM vecs WHERE vec_id % 100 = 0),
+            v AS (SELECT vec_id AS neighbor_id, e AS ve FROM vecs),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     ROUND({_COSINE_SQL.format(a='qe', b='ve')}, 6) AS sim
+              FROM q JOIN v ON query_id != neighbor_id
+            ),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
+            SELECT query_id, neighbor_id, rnk, sim FROM r WHERE rnk <= 3
+            """
+        ),
+        "embedding_near_dup": with_vecs(
+            f"""
+            SELECT id_a, id_b, sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND({_COSINE_SQL.format(a='a.e', b='b.e')}, 6) AS sim
+              FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+            ) p WHERE sim >= 0.8
+        """
         ),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines: exact (hash-groupBy),
+n-gram Jaccard, MinHash+LSH (shingle -> minhash -> band -> bucket-join),
+SimHash. All expressed in DataFrame ops with portable md5-derived hashing —
+zero Python UDFs, so the hot path stays in whole-stage codegen.
+
+Scale design (the reason these shapes were chosen):
+- exact: one hash aggregation on the content digest — map-side combine, one
+  shuffle, no skew (digests are uniform).
+- ngram-Jaccard: exact pairs via shingle-inverted-index self-join. This is
+  the *oracle* path; cost is sum over shingles of c^2 — acceptable only when
+  shingle frequencies are bounded. At 100 TB you run MinHash-LSH instead and
+  verify candidates exactly (candidates << all pairs).
+- MinHash-LSH: per-doc signatures in ONE aggregation over exploded shingles
+  (k min-aggregates), band keys -> bucket join on (band, key) -> exact
+  verify. Bands/rows set so P[miss] at the target similarity is negligible
+  (16 bands x 2 rows: P[catch s=0.9] = 1-(1-0.81)^16 ≈ 1-1e-12).
+- SimHash: 60-bit signature from word hashes via 60 conditional sums in one
+  aggregation; pairs by hamming distance. Banding the signature into chunks
+  would give the sub-quadratic candidate step at scale (same bucket-join
+  pattern as LSH).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, functions as F
+
+SIMHASH_BITS = 60  # keep signatures positive in a signed 64-bit integer
+
+
+def md5_int(col: F.Column, hex_chars: int = 15, salt: str | None = None) -> F.Column:
+    """Portable deterministic hash: first ``hex_chars`` of md5 as a BIGINT.
+    (DuckDB equivalent: ``CAST(('0x' || substr(md5(x), 1, n)) AS BIGINT)``.)"""
+    x = F.concat(F.lit(salt), F.lit("|"), col) if salt is not None else col
+    return F.conv(F.substring(F.md5(x), 1, hex_chars), 16, 10).cast("bigint")
+
+
+def shingles(text_col: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (higher-order
+    functions only). Empty/short texts yield an empty array."""
+    words = F.split(text_col, " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    # texts shorter than n words have no shingles (sequence() would count
+    # backwards for a negative stop, so gate it)
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash groups with >1 member -> (content_hash, n_dups, min_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def _verify_jaccard(
+    pairs: DataFrame, sets_df: DataFrame, threshold: float, round_to: int = 6
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs (the verify step of LSH)."""
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+    explode -> self-join on shingle -> per-pair intersection count ->
+    J = i / (|a| + |b| - i). Returns (id_a, id_b, sim) with id_a < id_b."""
+    sets_df = _shingle_sets(df, id_col, text_col, n)
+    sizes = sets_df.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = sets_df.select("doc_id", F.explode("sh").alias("sh1"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.sh1") == F.col("b.sh1")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sets_df: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): k salted-md5 min-hashes in ONE aggregation
+    over the exploded shingles."""
+    ex = sets_df.select("doc_id", F.explode("sh").alias("sh1"))
+    aggs = [
+        F.min(md5_int(F.col("sh1"), salt=str(i))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verify.
+    Returns the same schema as ngram_jaccard_pairs — at high recall the two
+    agree, which is exactly what the oracle checks."""
+    rows = num_hashes // bands
+    sets_df = _shingle_sets(df, id_col, text_col, n)
+    sig = minhash_signatures(sets_df, num_hashes)
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *cols)).alias("bkey"),
+            )
+        )
+    buckets = band_rows[0]
+    for br in band_rows[1:]:
+        buckets = buckets.unionByName(br)
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    return _verify_jaccard(cand, sets_df, threshold)
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over distinct words: bit i of the signature is the
+    sign of sum over words of (2*((h(w)>>i)&1) - 1). One aggregation, no
+    UDFs. Returns (doc_id, simhash)."""
+    words = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    ).filter(F.length("w") > 0)
+    h = md5_int(F.col("w"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else (sig + term)
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance (id_a < id_b, hamming).
+    O(n^2) compare here (oracle path); at scale, band the signature into
+    (max_hamming+1) chunks and bucket-join — any pair within the distance
+    shares at least one exact chunk (pigeonhole)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

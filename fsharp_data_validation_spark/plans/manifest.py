@@ -1,0 +1,184 @@
+"""Checkpoint-resumable validation runs with per-partition lineage + metrics
+(the north rule's resumability requirement; SURVEY.md §7 step 7).
+
+Structured Streaming checkpoints don't fit batch-over-table validation, so
+resume is app-level: a *manifest* of one JSON document per completed input
+partition, written atomically (tmp + rename). A resumed run anti-joins the
+manifest — completed partitions are skipped entirely (their input is never
+scanned: partition pruning via the partition predicate).
+
+Manifest entry fields:
+  partition        partition value (string-rendered)
+  status           "pass" | "fail"
+  rows_scanned     rows validated in the partition
+  rows_with_violations / violations
+  constraints_evaluated
+  input_snapshot   caller-supplied pin (Iceberg snapshot id / parquet mtime)
+  started_at / finished_at (unix seconds)
+
+At 10^12-turn scale partitions are Iceberg day/bucket partitions; one
+manifest entry per partition keeps the manifest tiny (thousands of entries)
+regardless of row count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.compiler import Suite
+
+
+def _atomic_write(path: str, payload: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _safe_name(value) -> str:
+    s = str(value)
+    return "".join(c if c.isalnum() or c in "-_.=" else "_" for c in s)
+
+
+@dataclass
+class PartitionOutcome:
+    partition: str
+    status: str
+    rows_scanned: int
+    rows_with_violations: int
+    violations: int
+    constraints_evaluated: int
+
+
+class ValidationRun:
+    """Partition-at-a-time suite execution with manifest-based resume.
+
+    ``run`` validates every partition not yet in the manifest, writes the
+    violation rows (parquet, partitioned by the partition value) and one
+    manifest entry per partition, and returns the outcomes. Re-invoking
+    after an interruption resumes where it stopped.
+    """
+
+    def __init__(
+        self,
+        suite: Suite,
+        out_dir: str,
+        key_cols: Sequence[str],
+        partition_col: str,
+        input_snapshot: Optional[str] = None,
+    ):
+        self.suite = suite
+        self.out_dir = out_dir
+        self.key_cols = list(key_cols)
+        self.partition_col = partition_col
+        self.input_snapshot = input_snapshot
+        self.manifest_dir = os.path.join(out_dir, "manifest")
+        self.violations_dir = os.path.join(out_dir, "violations")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.violations_dir, exist_ok=True)
+
+    # -- manifest ------------------------------------------------------------
+    def completed_partitions(self) -> dict:
+        done = {}
+        for name in os.listdir(self.manifest_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                doc = json.load(f)
+            done[doc["partition"]] = doc
+        return done
+
+    def _record(self, outcome: PartitionOutcome, started: float) -> None:
+        doc = {
+            "partition": outcome.partition,
+            "status": outcome.status,
+            "rows_scanned": outcome.rows_scanned,
+            "rows_with_violations": outcome.rows_with_violations,
+            "violations": outcome.violations,
+            "constraints_evaluated": outcome.constraints_evaluated,
+            "input_snapshot": self.input_snapshot,
+            "started_at": int(started),
+            "finished_at": int(time.time()),
+        }
+        _atomic_write(
+            os.path.join(self.manifest_dir, _safe_name(outcome.partition) + ".json"),
+            doc,
+        )
+
+    # -- execution -------------------------------------------------------------
+    def pending_partitions(self, df: DataFrame) -> List[str]:
+        all_parts = [
+            str(r[0])
+            for r in df.select(self.partition_col).distinct().orderBy(self.partition_col).collect()
+        ]
+        done = self.completed_partitions()
+        return [p for p in all_parts if p not in done]
+
+    def run(self, df: DataFrame, max_partitions: Optional[int] = None) -> List[PartitionOutcome]:
+        pending = self.pending_partitions(df)
+        if max_partitions is not None:
+            pending = pending[:max_partitions]
+        outcomes = []
+        for part in pending:
+            started = time.time()
+            # partition predicate -> partition pruning on a partitioned table
+            pdf = df.filter(F.col(self.partition_col).cast("string") == part)
+            flagged = self.suite.with_failures(pdf).cache()
+            try:
+                agg = flagged.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum((F.size("failures") > 0).cast("long")).alias("rv"),
+                    F.sum(F.size("failures")).alias("v"),
+                ).collect()[0]
+                viol = (
+                    flagged.filter(F.size("failures") > 0)
+                    .select(*self.key_cols, F.explode("failures").alias("f"))
+                    .select(
+                        *self.key_cols,
+                        F.array_join(
+                            F.transform(
+                                "f.path",
+                                lambda s: F.concat(
+                                    F.lower(F.substring(s, 1, 1)),
+                                    F.substring(s, 2, 2_000_000),
+                                ),
+                            ),
+                            ".",
+                        ).alias("path"),
+                        F.col("f.code").alias("code"),
+                    )
+                )
+                viol.write.mode("overwrite").parquet(
+                    os.path.join(self.violations_dir, f"part={_safe_name(part)}")
+                )
+            finally:
+                flagged.unpersist()
+            outcome = PartitionOutcome(
+                partition=part,
+                status="pass" if (agg["v"] or 0) == 0 else "fail",
+                rows_scanned=agg["n"],
+                rows_with_violations=agg["rv"] or 0,
+                violations=agg["v"] or 0,
+                constraints_evaluated=len(self.suite.constraints),
+            )
+            self._record(outcome, started)
+            outcomes.append(outcome)
+        return outcomes
+
+    def summary(self) -> dict:
+        done = self.completed_partitions()
+        return {
+            "partitions": len(done),
+            "pass": sum(1 for d in done.values() if d["status"] == "pass"),
+            "fail": sum(1 for d in done.values() if d["status"] == "fail"),
+            "rows_scanned": sum(d["rows_scanned"] for d in done.values()),
+            "violations": sum(d["violations"] for d in done.values()),
+        }

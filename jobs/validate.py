@@ -1,0 +1,72 @@
+"""spark-submit entry point: validate a transcripts table with the full
+constraint suite, checkpoint-resumably, with per-partition lineage.
+
+    spark-submit --master local[32] \
+        --py-files fsharp_data_validation_spark.zip \
+        jobs/validate.py --input /path/transcripts.parquet \
+        --output /tmp/validation_out --partition-col part_date \
+        [--events-dir /root/testdata/sf0.01] [--strict] [--max-partitions N]
+
+Exit status: 0 on all-pass; 2 when --strict and any partition failed
+(≅ raiseIfInvalid, /root/reference/src/FSharp.Data.Validation/Library.fs:118-121).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+from fsharp_data_validation_spark.operators.transcript_suite import transcript_row_suite
+from fsharp_data_validation_spark.plans.manifest import ValidationRun
+from fsharp_data_validation_spark.sources.transcripts import (
+    derive_transcripts,
+    load_transcripts,
+)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts table (parquet path or table name)")
+    ap.add_argument(
+        "--events-dir",
+        help="derive transcripts from <dir>/events.parquet (test harness path)",
+    )
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partition-col", default="part_date")
+    ap.add_argument("--strict", action="store_true")
+    ap.add_argument("--max-partitions", type=int, default=None)
+    ap.add_argument("--snapshot", default=None, help="input snapshot pin for lineage")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("validate_transcripts").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.events_dir:
+        df = derive_transcripts(spark, args.events_dir)
+    elif args.input:
+        df = load_transcripts(spark, args.input)
+    else:
+        ap.error("one of --input / --events-dir is required")
+    if args.partition_col not in df.columns:
+        df = df.withColumn(args.partition_col, F.to_date("ts"))
+
+    run = ValidationRun(
+        suite=transcript_row_suite(),
+        out_dir=args.output,
+        key_cols=["conv_id", "turn_idx", "ts"],
+        partition_col=args.partition_col,
+        input_snapshot=args.snapshot,
+    )
+    outcomes = run.run(df, max_partitions=args.max_partitions)
+    summary = run.summary()
+    print(json.dumps({"processed": len(outcomes), **summary}))
+    if args.strict and summary["fail"] > 0:
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

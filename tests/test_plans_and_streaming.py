@@ -1,0 +1,178 @@
+"""Tests for checkpoint-resume (plans.manifest), the spark-submit job
+surface, Structured Streaming validation, and multimodal plumbing."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from fsharp_data_validation_spark.operators.transcript_suite import transcript_row_suite
+from fsharp_data_validation_spark.plans.manifest import ValidationRun
+
+SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("part", StringType()),
+    ]
+)
+
+
+def _df(spark):
+    rows = [
+        Row(conv_id="c1", turn_idx=0, role="user", text="hi", tool=None, part="a"),
+        Row(conv_id="c1", turn_idx=1, role="robot", text="x", tool=None, part="a"),
+        Row(conv_id="c2", turn_idx=0, role="user", text=None, tool=None, part="b"),
+        Row(conv_id="c3", turn_idx=0, role="user", text="ok", tool=None, part="c"),
+    ]
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def test_manifest_run_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    run = ValidationRun(
+        transcript_row_suite(), out, ["conv_id", "turn_idx"], "part", "snap-1"
+    )
+    # first invocation: process only 2 partitions (simulated interruption)
+    outcomes = run.run(_df(spark), max_partitions=2)
+    assert [o.partition for o in outcomes] == ["a", "b"]
+    assert outcomes[0].status == "fail" and outcomes[0].violations == 1
+    assert outcomes[1].status == "fail"
+    # resume: only the remaining partition is processed
+    run2 = ValidationRun(
+        transcript_row_suite(), out, ["conv_id", "turn_idx"], "part", "snap-1"
+    )
+    outcomes2 = run2.run(_df(spark))
+    assert [o.partition for o in outcomes2] == ["c"]
+    assert outcomes2[0].status == "pass"
+    s = run2.summary()
+    assert s["partitions"] == 3 and s["fail"] == 2 and s["pass"] == 1
+    # manifest entries carry lineage + metrics
+    docs = run2.completed_partitions()
+    assert docs["a"]["input_snapshot"] == "snap-1"
+    assert docs["a"]["rows_scanned"] == 2
+    # violations written per partition with rendered paths
+    viol = spark.read.parquet(os.path.join(out, "violations", "part=a"))
+    r = viol.collect()[0]
+    assert (r["path"], r["code"]) == ("role", "role_enum")
+    # idempotent: nothing left to do
+    assert ValidationRun(
+        transcript_row_suite(), out, ["conv_id", "turn_idx"], "part"
+    ).run(_df(spark)) == []
+
+
+def test_streaming_validation(spark, tmp_path):
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        run_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    _df(spark).drop("part").write.parquet(src)
+    stream = spark.readStream.schema(
+        StructType([f for f in SCHEMA.fields if f.name != "part"])
+    ).parquet(src)
+    assert stream.isStreaming
+    q = run_stream_to_parquet(
+        stream,
+        transcript_row_suite(),
+        ["conv_id", "turn_idx"],
+        str(tmp_path / "viol"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["path"], r["code"])
+        for r in spark.read.parquet(str(tmp_path / "viol")).collect()
+    }
+    assert ("c1", "role", "role_enum") in got
+    assert ("c2", "text", "text_required") in got
+
+
+def test_windowed_violation_rate_plan(spark):
+    """Streaming windowed agg with watermark builds and is streaming."""
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        windowed_violation_rate,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+        .select(
+            F.concat(F.lit("c"), (F.col("value") % 3).cast("string")).alias("conv_id"),
+            F.col("value").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.when(F.col("value") % 5 == 0, None).otherwise(F.lit("t")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    agg = windowed_violation_rate(stream, transcript_row_suite())
+    assert agg.isStreaming
+    assert set(agg.columns) == {"win", "rows", "rows_with_violations", "violations"}
+
+
+def test_multimodal_plumbing(spark):
+    from fsharp_data_validation_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        byte_histogram_features,
+        decode_image_meta,
+        frame_sample,
+        make_fake_image_payload,
+    )
+
+    rows = [
+        Row(
+            media_id=i,
+            kind="image",
+            payload=make_fake_image_payload(64 + i, 32, 3, seed=i),
+            meta=Row(source="synthetic", n_bytes=0),
+        )
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    meta = {r["media_id"]: r for r in decode_image_meta(df).collect()}
+    assert meta[0]["width"] == 64 and meta[4]["width"] == 68
+    assert meta[0]["height"] == 32 and meta[0]["channels"] == 3
+    feats = {r["media_id"]: r["features"] for r in byte_histogram_features(df).collect()}
+    assert len(feats[0]) == 16
+    assert abs(sum(feats[0]) - 1.0) < 1e-9
+    # deterministic across runs
+    feats2 = {r["media_id"]: r["features"] for r in byte_histogram_features(df).collect()}
+    assert feats == feats2
+    with pytest.raises(NotImplementedError):
+        frame_sample(df)
+
+
+def test_job_entry_main(spark, tmp_path):
+    """Drive jobs/validate.py main() — the spark-submit surface."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import validate as job
+
+    rc = job.main(
+        [
+            "--events-dir",
+            "/root/testdata/sf0.001",
+            "--output",
+            str(tmp_path / "job_out"),
+            "--max-partitions",
+            "3",
+            "--strict",
+        ]
+    )
+    assert rc == 2  # injected violations -> strict mode fails
+    manifest = os.listdir(str(tmp_path / "job_out" / "manifest"))
+    assert len(manifest) == 3
+    doc = json.load(open(str(tmp_path / "job_out" / "manifest" / manifest[0])))
+    assert doc["constraints_evaluated"] == 12
