@@ -241,11 +241,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (sim >= 0.8, exact form)."""
-    from fsharp_data_validation_spark.operators.similarity import near_dup_pairs
+    """Embedding-cosine near-dup pairs (sim >= 0.8, exact): blocked
+    all-pairs GEMM (O(n*B) shuffle instead of O(n^2) joined pairs)."""
+    from fsharp_data_validation_spark.operators.similarity import near_dup_pairs_blocked
     from fsharp_data_validation_spark.sources.documents import load_vecs
 
-    return near_dup_pairs(load_vecs(spark, sf_dir), threshold=0.8)
+    return near_dup_pairs_blocked(load_vecs(spark, sf_dir), threshold=0.8)
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract).
+
+Runs every headline query from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"row_suite": sec, ...}, "sf": 0.1, ...}
+
+Each query is forced end-to-end with a ``noop``-format write (full
+evaluation, no driver collect, no disk). The flagship throughput number
+(validated turns/sec over the full row-constraint suite — the
+BASELINE.json metric) is reported under ``turns_per_sec``.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+``tools/bench_scaling.py`` / BENCH.md, not here: the driver calls this
+file once per round at a fixed parallelism.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    """Fully evaluate a DataFrame on executors (no collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+
+    # Warm the JVM + parquet footer caches once so per-query numbers
+    # measure the plan, not first-touch overhead.
+    force(qs["row_suite"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            force(fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as ex:  # never lose the whole bench to one query
+            timings[name] = -1.0
+            print(f"[bench-error] {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+
+    # Flagship throughput: validated turns/sec through the full row suite.
+    from fsharp_data_validation_spark.sources.transcripts import derive_transcripts
+
+    n_turns = derive_transcripts(spark, sf_dir).count()
+    suite_sec = timings.get("row_suite") or 1e-9
+    turns_per_sec = round(n_turns / suite_sec, 1) if suite_sec > 0 else None
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    total = round(sum(t for t in timings.values() if t > 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "validated turns/sec, full constraint suite (+ headline query wall times)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "turns": n_turns,
+                "turns_per_sec": turns_per_sec,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

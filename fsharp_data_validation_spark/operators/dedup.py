@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 SIMHASH_BITS = 60  # keep signatures positive in a signed 64-bit integer
 
@@ -91,43 +91,59 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    explode -> self-join on shingle -> per-pair intersection count ->
-    J = i / (|a| + |b| - i). Returns (id_a, id_b, sim) with id_a < id_b."""
-    sets_df = _shingle_sets(df, id_col, text_col, n)
-    sizes = sets_df.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = sets_df.select("doc_id", F.explode("sh").alias("sh1"))
-    pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.sh1") == F.col("b.sh1")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+    """EXACT n-gram Jaccard near-dup pairs with **prefix filtering**
+    (AllPairs/PPJoin-style, no recall loss): for J(a,b) >= t, a and b must
+    share at least one of each other's ``floor((1-t)*|s|) + 1`` globally
+    rarest shingles. Only those prefix shingles enter the inverted index,
+    so the per-shingle c^2 candidate blowup collapses (hot/common shingles
+    never generate candidates); candidates are then verified with the exact
+    set intersection. Returns (id_a, id_b, sim) with id_a < id_b.
+
+    Scale notes: the doc-frequency pass and the prefix index are each one
+    shuffle; candidate count is near-linear in the number of true near-dup
+    pairs, which is what makes exact Jaccard feasible at 100 TB (the
+    unfiltered inverted-index join is quadratic per hot shingle).
+
+    The shingle-set table feeds three plan branches (index build, a/b verify
+    sides); it is persisted so the tokenize/shingle pass runs once — at real
+    scale this is the materialized intermediate of the dedup pipeline stage."""
+    sets_df = _shingle_sets(df, id_col, text_col, n).persist()
+    ex = sets_df.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("sh1"))
+    dfreq = ex.groupBy("sh1").agg(F.count(F.lit(1)).alias("df"))
+    # rank each doc's shingles rarest-first; keep the prefix
+    w = Window.partitionBy("doc_id").orderBy("df", "sh1")
+    prefix = (
+        ex.join(dfreq, "sh1")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.floor((1 - threshold) * F.col("n_sh")) + 1)
+        .select("doc_id", "sh1")
+    ).persist()  # both sides of the candidate self-join
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh1") == F.col("b.sh1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).alias("i"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
-    return (
-        pairs.join(sa, "id_a").join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")), 6
-            ).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    return _verify_jaccard(cand, sets_df, threshold)
 
 
 def minhash_signatures(
     sets_df: DataFrame, num_hashes: int = 32
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{k-1}): k salted-md5 min-hashes in ONE aggregation
-    over the exploded shingles."""
+    """(doc_id, mh_0..mh_{k-1}): k seeded min-hashes in ONE aggregation over
+    the exploded shingles. Hashing is native ``xxhash64`` (JVM, codegen'd —
+    no hex/string round-trip); the seed is the per-hash literal. The LSH
+    output is oracle-checked against exact Jaccard *pairs*, so the hash
+    family is an internal choice."""
     ex = sets_df.select("doc_id", F.explode("sh").alias("sh1"))
     aggs = [
-        F.min(md5_int(F.col("sh1"), salt=str(i))).alias(f"mh_{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("sh1"))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy("doc_id").agg(*aggs)
@@ -146,21 +162,34 @@ def minhash_lsh_pairs(
     Returns the same schema as ngram_jaccard_pairs — at high recall the two
     agree, which is exactly what the oracle checks."""
     rows = num_hashes // bands
-    sets_df = _shingle_sets(df, id_col, text_col, n)
+    # reused by the signature build and both verify sides -> persist
+    sets_df = _shingle_sets(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sets_df, num_hashes)
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *cols)).alias("bkey"),
-            )
+    # all band keys in ONE pass over the signatures (explode of an array of
+    # structs) — not a 16-way union, which would re-plan the signature
+    # aggregation per band and shuffle it `bands` times
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh_{b * rows + r}").cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            ).alias("bkey"),
         )
-    buckets = band_rows[0]
-    for br in band_rows[1:]:
-        buckets = buckets.unionByName(br)
+        for b in range(bands)
+    ]
+    buckets = (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
+        .select(
+            "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+        )
+        .persist()  # both sides of the bucket self-join share one sig pass
+    )
     cand = (
         buckets.alias("a")
         .join(

@@ -38,6 +38,26 @@ def _as_double(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.col(vec_col).cast("array<double>"))
 
 
+from pyspark.sql.types import DoubleType  # noqa: E402
+
+
+@F.pandas_udf(DoubleType())
+def _pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-vectorized cosine over joined pairs: one einsum per batch
+    (float64), no per-row Python. This is the verify kernel for both the
+    exact O(n^2) path and the LSH candidate path — at scale it only ever
+    sees candidate pairs, so Arrow transfer is bounded by candidates, not
+    n^2."""
+    if len(va) == 0:
+        return pd.Series([], dtype="float64")
+    a = np.stack(va.to_numpy())
+    b = np.stack(vb.to_numpy())
+    dots = np.einsum("ij,ij->i", a, b)
+    na = np.sqrt(np.einsum("ij,ij->i", a, a))
+    nb = np.sqrt(np.einsum("ij,ij->i", b, b))
+    return pd.Series(dots / (na * nb))
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -60,7 +80,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q"), F.col("v")), round_to).alias("sim"),
+            F.round(_pair_cosine(F.col("q"), F.col("v")), round_to).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -94,10 +114,85 @@ def near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("sim"),
+            F.round(_pair_cosine(F.col("va"), F.col("vb")), round_to).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def near_dup_pairs_blocked(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    blocks: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine via **block-matrix GEMM**: vectors are hashed
+    into ``blocks`` blocks; every block pair (bi <= bj) becomes one group;
+    ``applyInPandas`` computes the (n/B x n/B) similarity tile with one
+    float64 matmul and emits only pairs above threshold.
+
+    Vs the naive pair join, shuffled bytes drop from O(n^2) joined array
+    pairs to O(n * B) replicated vectors, and the math runs in BLAS. Same
+    output as ``near_dup_pairs`` (values rounded identically) — it is
+    oracle-checked against the same exact-cosine SQL.
+    """
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    v = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    ids = [(bi, bj) for bi in range(blocks) for bj in range(blocks) if bi <= bj]
+    pair_ids = v.sparkSession.createDataFrame(ids, "bi int, bj int")
+    # a vector joins every tile that references its block; side(s) tell the
+    # kernel which operand(s) of the GEMM it belongs to
+    tiles = v.join(
+        F.broadcast(pair_ids),
+        (F.col("blk") == F.col("bi")) | (F.col("blk") == F.col("bj")),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        blk = pdf["blk"].to_numpy()
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        vids = pdf["vid"].to_numpy()
+        ia = np.flatnonzero(blk == bi)
+        ib = np.flatnonzero(blk == bj)
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        sims = (m[ia] @ m[ib].T) / np.outer(norms[ia], norms[ib])
+        idx_a, idx_b = np.nonzero(np.round(sims, round_to) >= threshold)
+        a_ids, b_ids = vids[ia][idx_a], vids[ib][idx_b]
+        if bi == bj:
+            # diagonal tile: every unordered pair appears twice — keep one
+            keep = a_ids < b_ids
+            lo, hi, s = a_ids[keep], b_ids[keep], sims[idx_a[keep], idx_b[keep]]
+        else:
+            # off-diagonal: pair appears once; normalize order (id_a < id_b)
+            lo = np.minimum(a_ids, b_ids)
+            hi = np.maximum(a_ids, b_ids)
+            s = sims[idx_a, idx_b]
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": np.round(s, round_to)})
+
+    return tiles.groupBy("bi", "bj").applyInPandas(tile_kernel, out_schema)
 
 
 def lsh_buckets(
@@ -178,7 +273,7 @@ def lsh_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("sim"),
+            F.round(_pair_cosine(F.col("va"), F.col("vb")), round_to).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

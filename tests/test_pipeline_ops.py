@@ -1,0 +1,87 @@
+"""Tests for training-data pipeline operators: dedup family agreement
+(exact inverted-index vs prefix-filter vs MinHash-LSH), blocked-GEMM vs
+naive all-pairs cosine, and the deterministic bench synthesizer."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from fsharp_data_validation_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from fsharp_data_validation_spark.operators.similarity import (
+    near_dup_pairs,
+    near_dup_pairs_blocked,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),  # exact dup of 1
+        Row(doc_id=3, text=base + " tail"),  # near dup of 1/2
+        Row(doc_id=4, text="completely different words in this sentence here"),
+        Row(doc_id=5, text="short text"),  # < 3 words after split? no: 2 words
+        Row(doc_id=6, text=base.replace("fox", "cat")),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"], r["sim"]) for r in df.collect())
+
+
+def test_exact_duplicates(spark):
+    got = exact_duplicates(_docs(spark), "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 2 and got[0]["min_id"] == 1
+
+
+def test_prefix_jaccard_equals_lsh(spark):
+    docs = _docs(spark)
+    exact = _pairs(ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5))
+    lsh = _pairs(minhash_lsh_pairs(docs, "doc_id", "text", 3, 32, 16, 0.5))
+    assert exact, "fixture should contain near-dup pairs"
+    assert (1, 2, 1.0) in exact
+    assert exact == lsh  # high-recall banding -> identical verified output
+
+
+def test_blocked_gemm_equals_naive_pairs(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((8, 16))
+    vecs = []
+    for i in range(40):
+        v = base[i % 8] + rng.standard_normal(16) * (0.05 if i % 3 == 0 else 2.0)
+        vecs.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(vecs)
+    naive = _pairs(near_dup_pairs(df, threshold=0.8))
+    blocked = _pairs(near_dup_pairs_blocked(df, threshold=0.8, blocks=4))
+    assert naive, "fixture should contain near-dup vector pairs"
+    assert naive == blocked
+
+
+def test_synth_transcripts_deterministic(spark):
+    from fsharp_data_validation_spark.sources.synth import synth_transcripts
+
+    a = synth_transcripts(spark, 5000, parallelism=4)
+    assert a.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    # deterministic across parallelism levels (the scaling-bench invariant)
+    b = synth_transcripts(spark, 5000, parallelism=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # injected violation classes all present
+    t = a
+    assert t.filter(F.col("text").isNull()).count() > 0
+    assert t.filter(F.col("role") == "robot").count() > 0
+    assert t.filter(F.col("tool") == "tool_unknown").count() > 0
+    dups = (
+        t.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    )
+    assert dups > 0
+    # hot-key skew: the biggest conversation dwarfs the median
+    sizes = t.groupBy("conv_id").count()
+    mx = sizes.agg(F.max("count")).first()[0]
+    assert mx > 50  # hot conversations concentrate ~1.25% of rows each
