@@ -151,6 +151,36 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks(a, b)
 
 
+def _ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation inter-turn gap in whole seconds (lag window over
+    (turn_idx, ts) — the ts-gap profile the north rule's drift check runs
+    on). Keeps the current row's ts for the half-split."""
+    from pyspark.sql import Window
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "ts")
+    g = t.select(
+        "conv_id",
+        "ts",
+        (_epoch_s("ts") - F.lag(_epoch_s("ts")).over(w)).alias("gap_s"),
+    )
+    return g.filter(F.col("gap_s").isNotNull())
+
+
+def q_ts_gap_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift on ts-gap histograms (1h buckets), first vs second half."""
+    g = _ts_gaps(spark, sf_dir)
+    fa, fb = _split_halves(g)
+    return psi(histogram(fa, "gap_s", 3600.0, 24), histogram(fb, "gap_s", 3600.0, 24))
+
+
+def q_ts_gap_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift on the same ts-gap split."""
+    g = _ts_gaps(spark, sf_dir)
+    fa, fb = _split_halves(g)
+    return ks(histogram(fa, "gap_s", 3600.0, 24), histogram(fb, "gap_s", 3600.0, 24))
+
+
 # --- training-data pipeline: dedup / text / similarity ----------------------
 
 
@@ -288,6 +318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_len_quantiles": q_text_len_quantiles,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "ts_gap_psi": q_ts_gap_psi,
+        "ts_gap_ks": q_ts_gap_ks,
         "q1_pricing": q_q1_pricing,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -357,6 +389,63 @@ FROM transcripts
 WHERE text IS NOT NULL AND CAST(FLOOR(epoch(ts)) AS BIGINT) {op} (SELECT mid FROM m)
 GROUP BY 1
 """
+
+# ts-gap drift: per-conversation inter-turn gap (whole seconds), 1h buckets
+_GAPS_SQL = """
+, g0 AS (
+  SELECT conv_id, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS gap_s
+  FROM transcripts
+), gaps AS (SELECT * FROM g0 WHERE gap_s IS NOT NULL)
+, m AS (
+  SELECT ROUND((MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))
+         + MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))) / 2) AS mid FROM gaps
+)
+"""
+
+_GAP_HIST_SQL = """
+SELECT LEAST(GREATEST(CAST(FLOOR(gap_s / 3600.0) AS INT), 0), 23) AS bucket,
+       COUNT(*) AS n
+FROM gaps
+WHERE CAST(FLOOR(epoch(ts)) AS BIGINT) {op} (SELECT mid FROM m)
+GROUP BY 1
+"""
+
+_PSI_FROM_J = """
+SELECT ROUND(SUM((p - q) * LN(p / q)), 4) AS psi FROM (
+  SELECT GREATEST(na * 1.0 / (SELECT SUM(na) FROM j), 1e-6) AS p,
+         GREATEST(nb * 1.0 / (SELECT SUM(nb) FROM j), 1e-6) AS q
+  FROM j
+) t
+"""
+
+_KS_FROM_J = """
+SELECT ROUND(MAX(ABS(ca * 1.0 / (SELECT SUM(na) FROM j)
+                   - cb * 1.0 / (SELECT SUM(nb) FROM j))), 4) AS ks
+FROM (
+  SELECT SUM(na) OVER (ORDER BY bucket) AS ca,
+         SUM(nb) OVER (ORDER BY bucket) AS cb
+  FROM j
+) t
+"""
+
+
+def _gap_drift_oracle(stat_sql: str) -> str:
+    return with_transcripts(
+        _GAPS_SQL
+        + f", ha AS ({_GAP_HIST_SQL.format(op='<')})"
+        + f", hb AS ({_GAP_HIST_SQL.format(op='>=')})"
+        + """
+        , j AS (
+          SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+                 COALESCE(ha.n, 0) AS na, COALESCE(hb.n, 0) AS nb
+          FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+        )
+        """
+        + stat_sql
+    )
 
 
 # shingle sets + exact-Jaccard pairs in DuckDB (oracle for both the exact
@@ -504,6 +593,8 @@ def oracle_sql() -> dict[str, str]:
             ) t
             """
         ),
+        "ts_gap_psi": _gap_drift_oracle(_PSI_FROM_J),
+        "ts_gap_ks": _gap_drift_oracle(_KS_FROM_J),
         "dedup_exact": with_docs(
             "SELECT content_hash, n_dups, min_id FROM ("
             "  SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,"

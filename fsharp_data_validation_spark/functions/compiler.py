@@ -226,6 +226,65 @@ class Suite:
         return [c.code for c in self._constraints]
 
     # -- compilation ----------------------------------------------------------
+    def _flag_columns(self) -> List[Tuple[Constraint, Column, Column]]:
+        """Per-constraint (constraint, fires: bool, n_failures: int) columns
+        with the refute masks applied — pure boolean/int algebra, NO
+        array/struct allocation (stays inside whole-stage codegen)."""
+        out: List[Tuple[Constraint, Column, Column]] = []
+        refuted: dict[str, Column] = {}
+        for c in self._constraints:
+            prev_refuted = refuted.get(c.branch, F.lit(False))
+            if c.kind in (REFUTE, DISPUTE):
+                fail = ~F.coalesce(c.ok, F.lit(True))
+                if c.guard is not None:
+                    fail = fail & c.guard
+                fail = fail & ~prev_refuted
+                out.append((c, fail, fail.cast("int")))
+                if c.kind == REFUTE:
+                    refuted[c.branch] = prev_refuted | fail
+            else:
+                n_elem = F.size(
+                    F.filter(
+                        c.array_col,
+                        lambda x: ~F.coalesce(c.elem_ok(x, F.lit(0)), F.lit(True)),
+                    )
+                )
+                applicable = c.array_col.isNotNull()
+                if c.guard is not None:
+                    applicable = applicable & c.guard
+                applicable = applicable & ~prev_refuted
+                n = F.when(applicable, F.greatest(n_elem, F.lit(0))).otherwise(
+                    F.lit(0)
+                )
+                fail = n > 0
+                out.append((c, fail, n))
+                if c.kind == EACH_REFUTE:
+                    refuted[c.branch] = prev_refuted | fail
+        return out
+
+    def any_failure_column(self) -> Column:
+        """Boolean 'row emits at least one failure' — used as the split
+        predicate in ``run`` so the failure-array construction cost is paid
+        only for rows that already failed (typically a few percent)."""
+        flags = [fail for _, fail, _ in self._flag_columns()]
+        if not flags:
+            return F.lit(False)
+        out = flags[0]
+        for f in flags[1:]:
+            out = out | f
+        return out
+
+    def failure_count_column(self) -> Column:
+        """Total failures emitted for the row (== size of the failures
+        array) without building the array — for verdict aggregation."""
+        counts = [n for _, _, n in self._flag_columns()]
+        if not counts:
+            return F.lit(0)
+        out = counts[0]
+        for n in counts[1:]:
+            out = out + n
+        return out
+
     def failures_column(self) -> Column:
         """Compile the whole suite into ONE array<struct> expression."""
         contributions: List[Column] = []
@@ -293,11 +352,16 @@ class Suite:
     def run(self, df: DataFrame, key_cols: Sequence[str]) -> "SuiteResult":
         """Split into (valid_df, violations_df) — the vectorized
         ``fromVCtx`` + MergeSources collapse (Library.fs:8-12, VCtx.fs:53-63):
-        a row with ANY failure produces no valid-output row."""
-        flagged = self.with_failures(df)
-        valid = flagged.filter(F.size("failures") == 0).drop("failures")
+        a row with ANY failure produces no valid-output row.
+
+        Plan shape: both outputs filter on the allocation-free boolean
+        ``any_failure_column`` (whole-stage codegen over the scan); the
+        failure array+structs are constructed only for the failing slice."""
+        any_fail = self.any_failure_column()
+        valid = df.filter(~any_fail)
         violations = (
-            flagged.filter(F.size("failures") > 0)
+            df.filter(any_fail)
+            .select(*key_cols, self.failures_column().alias("failures"))
             .select(*key_cols, F.explode("failures").alias("f"))
             .select(
                 *key_cols,
@@ -335,11 +399,12 @@ class SuiteResult:
         """Per-partition pass/fail + metrics (north rule): rows scanned,
         violations, pass = no violations. Partial aggregation (map-side
         combine) keeps this a single shuffle at any scale."""
-        flagged = self.suite.with_failures(df)
+        nf = self.suite.failure_count_column()
+        flagged = df.select(*partition_cols, nf.alias("_nf"))
         return flagged.groupBy(*partition_cols).agg(
             F.count(F.lit(1)).alias("rows_scanned"),
-            F.sum((F.size("failures") > 0).cast("long")).alias("rows_with_violations"),
-            F.sum(F.size("failures")).alias("violations"),
+            F.sum((F.col("_nf") > 0).cast("long")).alias("rows_with_violations"),
+            F.sum("_nf").cast("long").alias("violations"),
             F.lit(len(self.suite.constraints)).alias("constraints_evaluated"),
-            (F.sum(F.size("failures")) == 0).alias("pass"),
+            (F.sum("_nf") == 0).alias("pass"),
         )

