@@ -64,6 +64,24 @@ def test_blocked_gemm_equals_naive_pairs(spark):
     assert naive == blocked
 
 
+def test_tdigest_matches_exact_quantiles(spark):
+    """Distributed t-digest (applyInPandas, driver merge) tracks the exact
+    interpolated percentiles within digest accuracy on a skewed column."""
+    from fsharp_data_validation_spark.operators.stats import (
+        exact_quantiles,
+        tdigest_quantiles,
+    )
+
+    df = spark.range(0, 20000, 1, 8).selectExpr("cast(id * id as double) AS v")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    exact = exact_quantiles(df, "v", qs).collect()[0].asDict()
+    approx = tdigest_quantiles(df, "v", qs)
+    for q in qs:
+        key = f"q{int(q * 100)}"
+        rel = abs(approx[key] - exact[key]) / max(exact[key], 1.0)
+        assert rel < 0.02, (key, approx[key], exact[key])
+
+
 def test_synth_transcripts_deterministic(spark):
     from fsharp_data_validation_spark.sources.synth import synth_transcripts
 

@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions — the scale-design invariants SURVEY.md §4
+claims, checked against ``explain`` output so regressions that silently
+de-optimize the plan (lost broadcast, lost pruning, lost pushdown, extra
+shuffles) fail loudly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    return "/root/testdata/sf0.01"
+
+
+def test_referential_is_broadcast_anti_join(spark, sf):
+    """Catalog side must broadcast — no shuffle of the fact table."""
+    from fsharp_data_validation_spark.operators.crossrow import referential_violations
+    from fsharp_data_validation_spark.sources.transcripts import (
+        derive_transcripts,
+        tool_catalog,
+    )
+
+    t = derive_transcripts(spark, sf)
+    plan = _plan(
+        referential_violations(
+            t, "tool", tool_catalog(spark), "tool", ["conv_id", "turn_idx", "tool"]
+        )
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_column_profile_prunes_scan(spark, sf):
+    """Profiling 2 columns must not read the rest of the table."""
+    from fsharp_data_validation_spark.operators.stats import column_profile
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    plan = _plan(column_profile(li, ["l_quantity", "l_discount"]))
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_discount" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_q1_filter_pushdown(spark, sf):
+    """The shipdate predicate must reach the parquet scan."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_q1_pricing(spark, sf))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "l_shipdate" in pushed[0]
+
+
+def test_row_suite_is_single_stage_no_shuffle(spark, sf):
+    """Row validation is embarrassingly parallel: scan -> filter -> project,
+    zero Exchange operators, whole-stage codegen."""
+    from fsharp_data_validation_spark.operators.transcript_suite import (
+        transcript_row_suite,
+    )
+
+    t = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "cast(event_id as string) conv_id",
+        "cast(event_id % 50 as int) turn_idx",
+        "event_type role",
+        "props text",
+        "cast(null as string) tool",
+        "ts",
+    )
+    res = transcript_row_suite().run(t, ["conv_id", "turn_idx", "ts"])
+    for df in (res.valid, res.violations):
+        assert "Exchange" not in _plan(df)
+    # valid path: scan -> codegen'd boolean filter -> project, nothing else
+    # ('*' marks whole-stage-codegen nodes in formatted explain output);
+    # no failure-struct construction on this path (allocation-free split)
+    vplan = _plan(res.valid)
+    assert "* Filter" in vplan and "* Project" in vplan
+    assert "named_struct" not in vplan
+
+
+def test_uniqueness_partial_aggregation(spark, sf):
+    """Hash agg with map-side combine: partial then final around ONE
+    exchange."""
+    from fsharp_data_validation_spark.operators.crossrow import uniqueness_violations
+
+    # plain table (not the derived-transcripts view, whose row_number window
+    # adds its own exchange) so the plan shows the operator's cost alone
+    t = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "cast(user_id as string) conv_id", "cast(event_id % 50 as int) turn_idx"
+    )
+    plan = _plan(uniqueness_violations(t, ["conv_id", "turn_idx"]))
+    # exactly ONE shuffle (the key exchange); node ids appear as "(n) Name"
+    assert plan.count(") Exchange") == 1
+    assert plan.count(") HashAggregate") == 2  # partial + final
+
+
+def test_ann_topk_broadcasts_queries(spark, sf):
+    """Query set broadcasts; the big vector side is scanned once without
+    shuffle."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_ann_topk(spark, sf))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
