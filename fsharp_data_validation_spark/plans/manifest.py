@@ -122,55 +122,69 @@ class ValidationRun:
         done = self.completed_partitions()
         return [p for p in all_parts if p not in done]
 
-    def run(self, df: DataFrame, max_partitions: Optional[int] = None) -> List[PartitionOutcome]:
+    def _violations_df(self, pdf: DataFrame) -> DataFrame:
+        keys = list(self.key_cols)
+        if self.partition_col not in keys:
+            keys.append(self.partition_col)  # carried for the partitioned write
+        return self.suite.run(pdf, keys).violations.select(
+            *keys, F.col("path_str").alias("path"), "code"
+        )
+
+    def run(
+        self,
+        df: DataFrame,
+        max_partitions: Optional[int] = None,
+        batch_size: int = 1,
+    ) -> List[PartitionOutcome]:
+        """Validate pending partitions; ``batch_size`` partitions share one
+        stats job + one partitioned write (dynamic overwrite), so the job
+        count is 2*ceil(P/K) instead of 2*P — at thousands of Iceberg
+        day/bucket partitions this is the difference between a scheduler
+        stall and a handful of wide jobs. Manifest entries are recorded per
+        batch; an interrupted run redoes at most one batch."""
         pending = self.pending_partitions(df)
         if max_partitions is not None:
             pending = pending[:max_partitions]
+        nf = self.suite.failure_count_column()
+        pcol = F.col(self.partition_col).cast("string")
         outcomes = []
-        for part in pending:
+        for i in range(0, len(pending), max(batch_size, 1)):
+            batch = pending[i : i + max(batch_size, 1)]
             started = time.time()
-            # partition predicate -> partition pruning on a partitioned table
-            pdf = df.filter(F.col(self.partition_col).cast("string") == part)
-            flagged = self.suite.with_failures(pdf).cache()
-            try:
-                agg = flagged.agg(
+            # partition predicates -> partition pruning on a partitioned table
+            pdf = df.filter(pcol.isin(batch))
+            stats = {
+                r["_part"]: r
+                for r in pdf.select(pcol.alias("_part"), nf.alias("_nf"))
+                .groupBy("_part")
+                .agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum((F.size("failures") > 0).cast("long")).alias("rv"),
-                    F.sum(F.size("failures")).alias("v"),
-                ).collect()[0]
-                viol = (
-                    flagged.filter(F.size("failures") > 0)
-                    .select(*self.key_cols, F.explode("failures").alias("f"))
-                    .select(
-                        *self.key_cols,
-                        F.array_join(
-                            F.transform(
-                                "f.path",
-                                lambda s: F.concat(
-                                    F.lower(F.substring(s, 1, 1)),
-                                    F.substring(s, 2, 2_000_000),
-                                ),
-                            ),
-                            ".",
-                        ).alias("path"),
-                        F.col("f.code").alias("code"),
-                    )
+                    F.sum((F.col("_nf") > 0).cast("long")).alias("rv"),
+                    F.sum("_nf").alias("v"),
                 )
-                viol.write.mode("overwrite").parquet(
-                    os.path.join(self.violations_dir, f"part={_safe_name(part)}")
-                )
-            finally:
-                flagged.unpersist()
-            outcome = PartitionOutcome(
-                partition=part,
-                status="pass" if (agg["v"] or 0) == 0 else "fail",
-                rows_scanned=agg["n"],
-                rows_with_violations=agg["rv"] or 0,
-                violations=agg["v"] or 0,
-                constraints_evaluated=len(self.suite.constraints),
+                .collect()
+            }
+            viol = self._violations_df(pdf).withColumn("part", pcol)
+            if self.partition_col not in self.key_cols and self.partition_col != "part":
+                viol = viol.drop(self.partition_col)
+            (
+                viol.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("part")
+                .parquet(self.violations_dir)
             )
-            self._record(outcome, started)
-            outcomes.append(outcome)
+            for part in batch:
+                r = stats.get(part)
+                outcome = PartitionOutcome(
+                    partition=part,
+                    status="pass" if r is None or (r["v"] or 0) == 0 else "fail",
+                    rows_scanned=r["n"] if r is not None else 0,
+                    rows_with_violations=(r["rv"] or 0) if r is not None else 0,
+                    violations=(r["v"] or 0) if r is not None else 0,
+                    constraints_evaluated=len(self.suite.constraints),
+                )
+                self._record(outcome, started)
+                outcomes.append(outcome)
         return outcomes
 
     def summary(self) -> dict:

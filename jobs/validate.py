@@ -42,6 +42,12 @@ def main(argv=None) -> int:
     ap.add_argument("--partition-col", default="part_date")
     ap.add_argument("--strict", action="store_true")
     ap.add_argument("--max-partitions", type=int, default=None)
+    ap.add_argument(
+        "--batch-size",
+        type=int,
+        default=16,
+        help="input partitions validated per Spark job (resume granularity)",
+    )
     ap.add_argument("--snapshot", default=None, help="input snapshot pin for lineage")
     args = ap.parse_args(argv)
 
@@ -64,7 +70,9 @@ def main(argv=None) -> int:
         partition_col=args.partition_col,
         input_snapshot=args.snapshot,
     )
-    outcomes = run.run(df, max_partitions=args.max_partitions)
+    outcomes = run.run(
+        df, max_partitions=args.max_partitions, batch_size=args.batch_size
+    )
     summary = run.summary()
     print(json.dumps({"processed": len(outcomes), **summary}))
     if args.strict and summary["fail"] > 0:
