@@ -59,10 +59,21 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
+) -> DataFrame:
+    """(doc_id, sh) where ``sh`` is the distinct shingle set. With
+    ``hashed`` (default) each shingle is xxhash64'd to a BIGINT at creation:
+    ~5x less heap per cached set than Java strings (GC pressure is what
+    limits dedup scaling), and set intersections compare longs. Exact up to
+    64-bit hash collisions (~2^-64 per compared pair — no effect on any
+    Jaccard value at observable precision)."""
+    sh = shingles(F.col(text_col), n)
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
+        F.size("sh") > 0
+    )
 
 
 def _verify_jaccard(

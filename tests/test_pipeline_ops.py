@@ -64,6 +64,36 @@ def test_blocked_gemm_equals_naive_pairs(spark):
     assert naive == blocked
 
 
+def test_lsh_near_dup_recall(spark):
+    """Sign-sketch LSH candidates (scale path) recover a high fraction of
+    the exact near-dup pairs, and every reported pair is exact-verified
+    (precision 1.0 by construction)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from fsharp_data_validation_spark.operators.similarity import (
+        lsh_near_dup_pairs,
+        near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((10, 64))
+    rows = []
+    for i in range(120):
+        v = base[i % 10] + rng.standard_normal(64) * (0.15 if i % 2 == 0 else 3.0)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    exact = {(r["id_a"], r["id_b"]) for r in near_dup_pairs(df, threshold=0.8).collect()}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(df, threshold=0.8, dim=64).collect()
+    }
+    assert exact, "fixture should contain exact near-dup pairs"
+    assert approx <= exact  # verified candidates: no false positives
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, recall
+
+
 def test_salted_uniqueness_equivalent(spark):
     """Two-stage salted aggregation (adversarial hot-key path) returns the
     same duplicate groups as the direct hash agg."""

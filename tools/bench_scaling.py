@@ -34,6 +34,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 DATA_DIR = "/tmp/bench_transcripts"
+DOCS_DIR = "/tmp/bench_documents"
 
 
 def gen(n_turns: int) -> None:
@@ -48,6 +49,72 @@ def gen(n_turns: int) -> None:
         "overwrite"
     ).parquet(DATA_DIR)
     spark.stop()
+
+
+def gen_docs(n_docs: int) -> None:
+    """Deterministic synthetic corpus: ~35-55 words per doc from a shared
+    50k vocabulary keyed off xxhash64(id); every id%10==1 doc is a planted
+    near-duplicate of id-1 (same base text, mutated tail). Pure column
+    expressions over spark.range — no Python, no randomness."""
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(master="local[32]", app="bench_gen_docs")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(0, n_docs, 1, 128)
+    base = F.when(F.col("id") % 10 == 1, F.col("id") - 1).otherwise(F.col("id"))
+    nwords = (F.abs(F.xxhash64(base)) % 20 + 35).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), nwords),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base * F.lit(100001) + i), F.lit(50000)).cast("string"),
+        ),
+    )
+    text = F.concat(
+        F.array_join(words, " "),
+        F.when(F.col("id") % 10 == 1, F.lit(" tail mutated here")).otherwise(
+            F.lit("")
+        ),
+    )
+    df.select(F.col("id").alias("doc_id"), text.alias("text")).write.mode(
+        "overwrite"
+    ).parquet(DOCS_DIR)
+    spark.stop()
+
+
+def run_dedup(cores: int, iters: int = 3) -> dict:
+    """MinHash-LSH near-dup pipeline at local[cores] on the synthetic corpus."""
+    from fsharp_data_validation_spark.operators.dedup import minhash_lsh_pairs
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_dedup_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS_DIR)
+    n = docs.count()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        pairs = minhash_lsh_pairs(docs, "doc_id", "text", 3, 32, 16, 0.8)
+        pairs.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()  # fresh persist() materialization per pass
+        return dt
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
 
 
 def run_suite(cores: int, iters: int = 3) -> dict:
@@ -173,16 +240,23 @@ def cpu_ceiling(base: int, work: int = 30_000_000) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=40_000_000)
+    ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--mode", choices=["suite", "dedup"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     args = ap.parse_args()
 
     if args.run:
-        print(json.dumps(run_suite(args.run, args.iters)))
+        fn = run_dedup if args.mode == "dedup" else run_suite
+        print(json.dumps(fn(args.run, args.iters)))
         return
 
-    if not os.path.exists(DATA_DIR + "/_SUCCESS"):
+    if args.mode == "dedup":
+        if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
+            print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
+            gen_docs(args.docs)
+    elif not os.path.exists(DATA_DIR + "/_SUCCESS"):
         print(f"generating {args.turns:,} turns -> {DATA_DIR}", file=sys.stderr)
         gen(args.turns)
 
@@ -194,7 +268,7 @@ def main() -> None:
     for cores in (lo, hi):
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--run", str(cores),
-             "--iters", str(args.iters)],
+             "--iters", str(args.iters), "--mode", args.mode],
             capture_output=True, text=True, check=True, cwd="/root/repo",
         )
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
@@ -205,8 +279,14 @@ def main() -> None:
 
     eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / 4
     hw_adj = round(eff / ceiling["hardware_max_efficiency"], 3)
+    metric = (
+        "near-dup docs/sec, MinHash(32)+16x2-band LSH + exact verify"
+        if args.mode == "dedup"
+        else "validated turns/sec, full constraint suite"
+    )
     summary = {
-        "metric": "validated turns/sec, full constraint suite",
+        "metric": metric,
+        "mode": args.mode,
         "turns": results[hi]["turns"],
         "n_cores": lo,
         "4n_cores": hi,
@@ -220,28 +300,37 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
-    with open("/root/repo/BENCH.md", "w") as f:
-        f.write(
-            "# BENCH — scaling-efficiency evidence (north rule: >=0.8 from N to 4N)\n\n"
-            "Same job (full constraint suite: row refute/dispute suite -> violations+valid, "
-            "uniqueness, referential broadcast anti-join, ordering window, column profile "
-            "with HLL distincts, PSI drift) on the SAME deterministic synthetic transcript "
-            f"parquet ({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + "
-            "injected violations, 128 files), one fresh JVM per level; warmup pass then "
-            f"min of {args.iters} timed passes (shared-VM noise suppression).\n\n"
-            "| parallelism | wall sec | validated turns/sec |\n|---|---|---|\n"
-            f"| local[{lo}] (N) | {summary['sec_n']} | {summary['throughput_n']:,} |\n"
-            f"| local[{hi}] (4N) | {summary['sec_4n']} | {summary['throughput_4n']:,} |\n\n"
-            f"**Scaling efficiency (N -> 4N) = (tp_4N/tp_N)/4 = "
-            f"{summary['scaling_efficiency']}** "
-            f"({'PASS' if summary['pass'] else 'FAIL'} vs the >=0.8 requirement).\n\n"
-            "Hardware context (pure-CPU calibration, fixed work per process, measured in the "
-            f"same session): per-core throughput drops {ceiling['percore_slowdown_at_4n']}x "
-            f"when 4N cores are busy vs N on this shared VM, i.e. the box's own scaling "
-            f"ceiling is **{ceiling['hardware_max_efficiency']}** for perfectly parallel "
-            f"work. The suite achieves **{hw_adj}** of that ceiling.\n\n"
-            "Reproduce: `python tools/bench_scaling.py`.\n"
-        )
+    job_desc = (
+        "MinHash(32-hash)+16x2-band LSH near-dup pipeline (shingle -> signature agg -> "
+        "band explode -> bucket self-join -> exact-Jaccard verify) on a deterministic "
+        f"synthetic corpus ({summary['turns']:,} docs with planted near-dups, "
+        "`tools/bench_scaling.py gen_docs`)"
+        if args.mode == "dedup"
+        else "full constraint suite (row refute/dispute suite -> violations+valid, "
+        "uniqueness, referential broadcast anti-join, ordering window, column profile "
+        f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
+        f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
+        "violations, 128 files)"
+    )
+    unit = "docs/sec" if args.mode == "dedup" else "validated turns/sec"
+    section = (
+        f"\n## {summary['metric']}\n\n"
+        f"Same job — {job_desc} — at two parallelism levels, one fresh JVM per level; "
+        f"warmup pass then min of {args.iters} timed passes (shared-VM noise "
+        "suppression).\n\n"
+        f"| parallelism | wall sec | {unit} |\n|---|---|---|\n"
+        f"| local[{lo}] (N) | {summary['sec_n']} | {summary['throughput_n']:,} |\n"
+        f"| local[{hi}] (4N) | {summary['sec_4n']} | {summary['throughput_4n']:,} |\n\n"
+        f"**Scaling efficiency (N -> 4N) = (tp_4N/tp_N)/4 = "
+        f"{summary['scaling_efficiency']}** "
+        f"({'PASS' if summary['pass'] else 'FAIL'} vs the >=0.8 requirement). "
+        f"Pure-CPU calibration in the same session: per-core throughput drops "
+        f"{ceiling['percore_slowdown_at_4n']}x with 4N cores busy (box ceiling "
+        f"{ceiling['hardware_max_efficiency']}; the probe itself is noisy on this "
+        "shared VM, which is why min-of-N passes is used).\n"
+    )
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write(section)
 
 
 if __name__ == "__main__":
