@@ -288,6 +288,50 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(load_vecs(spark, sf_dir), threshold=0.8)
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation profile (hash agg, map-side combine): turn count,
+    max turn_idx, distinct roles, mean text length."""
+    t = _transcripts(spark, sf_dir)
+    return t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("turn_idx").alias("max_turn"),
+        F.countDistinct("role").alias("n_roles"),
+        F.round(F.avg(F.length("text")), 4).alias("mean_len"),
+    )
+
+
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass min/max per numeric column (stats operator)."""
+    from fsharp_data_validation_spark.operators.stats import numeric_minmax
+
+    t = _transcripts(spark, sf_dir).select(
+        "turn_idx", F.length("text").alias("text_len")
+    )
+    return numeric_minmax(t, ["turn_idx", "text_len"])
+
+
+def q_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: join customer x orders x lineitem, top revenue —
+    relational join coverage (broadcast dim, shuffle-hash fact join)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (relational agg coverage)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -320,7 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
+        "conv_stats": q_conv_stats,
+        "minmax": q_minmax,
         "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -595,6 +642,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ts_gap_psi": _gap_drift_oracle(_PSI_FROM_J),
         "ts_gap_ks": _gap_drift_oracle(_KS_FROM_J),
+        "conv_stats": with_transcripts(
+            "SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn, "
+            "COUNT(DISTINCT role) AS n_roles, "
+            "ROUND(AVG(length(text)), 4) AS mean_len "
+            "FROM transcripts GROUP BY conv_id"
+        ),
+        "minmax": with_transcripts(
+            "SELECT 'turn_idx' AS col_name, CAST(MIN(turn_idx) AS DOUBLE) AS min_value, "
+            "CAST(MAX(turn_idx) AS DOUBLE) AS max_value FROM transcripts "
+            "UNION ALL "
+            "SELECT 'text_len', CAST(MIN(length(text)) AS DOUBLE), "
+            "CAST(MAX(length(text)) AS DOUBLE) FROM transcripts"
+        ),
+        "q3_shipping": (
+            "SELECT l_orderkey, "
+            "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"
+        ),
         "dedup_exact": with_docs(
             "SELECT content_hash, n_dups, min_id FROM ("
             "  SELECT md5(text) AS content_hash, COUNT(*) AS n_dups,"
