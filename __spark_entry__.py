@@ -279,6 +279,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(load_vecs(spark, sf_dir), threshold=0.8)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means cells -> probe -> exact rerank). Run with full
+    probing here so the result is exact and shares the brute-force oracle;
+    n_probe < n_cells is the scale path."""
+    from fsharp_data_validation_spark.operators.similarity import ivf_topk
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    vecs = load_vecs(spark, sf_dir)
+    return ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") % 100 == 0), k=3, n_cells=8, n_probe=8
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: sign-sketch buckets (Arrow pandas UDF) -> verify.
     Approximate by construction — rows-only check (no oracle)."""
@@ -377,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_lsh": q_ann_lsh,
     }
@@ -709,6 +723,20 @@ def oracle_sql() -> dict[str, str]:
             "string_split(lower(text), ' '))), ' ')) AS fp FROM docs"
         ),
         "ann_topk": with_vecs(
+            f"""
+            , q AS (SELECT vec_id AS query_id, e AS qe FROM vecs WHERE vec_id % 100 = 0),
+            v AS (SELECT vec_id AS neighbor_id, e AS ve FROM vecs),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     ROUND({_COSINE_SQL.format(a='qe', b='ve')}, 6) AS sim
+              FROM q JOIN v ON query_id != neighbor_id
+            ),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
+            SELECT query_id, neighbor_id, rnk, sim FROM r WHERE rnk <= 3
+            """
+        ),
+        "ann_ivf": with_vecs(
             f"""
             , q AS (SELECT vec_id AS query_id, e AS qe FROM vecs WHERE vec_id % 100 = 0),
             v AS (SELECT vec_id AS neighbor_id, e AS ve FROM vecs),

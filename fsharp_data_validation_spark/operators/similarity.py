@@ -195,6 +195,82 @@ def near_dup_pairs_blocked(
     return tiles.groupBy("bi", "bj").applyInPandas(tile_kernel, out_schema)
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbor: k-means coarse
+    quantizer -> per-cell inverted lists -> probe the ``n_probe`` nearest
+    cells per query -> exact cosine rerank of the candidates.
+
+    Spark shape: the quantizer is Spark ML KMeans (seeded, deterministic);
+    cell assignment is the model transform (one pass over the vectors); the
+    probe step broadcasts the tiny centroid matrix into a pandas UDF that
+    returns each query's probe-cell list; candidates come from an equi-join
+    on cell id (shuffle bounded by list sizes, not n^2); rerank reuses the
+    Arrow pair-cosine kernel + a per-query top-k window.
+
+    With ``n_probe == n_cells`` recall is 1.0 and the result equals
+    ``brute_force_topk`` (ties broken identically) — which is how the
+    oracle checks it; smaller ``n_probe`` is the 100 TB path.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = _as_double(vectors, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+    )
+    ml_df = v.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        "neighbor_id", "v", F.col("prediction").alias("cell")
+    )
+    centers = np.stack(
+        [c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+         for c in model.clusterCenters()]
+    )
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(qs.to_numpy())  # (q, dim)
+        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    q = _as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q")
+    )
+    q_cells = q.select(
+        "query_id", "q", F.explode(probe_cells(F.col("q"))).alias("cell")
+    )
+    scored = (
+        q_cells.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_pair_cosine(F.col("q"), F.col("v")), round_to).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "sim")
+    )
+
+
 def lsh_buckets(
     vectors: DataFrame,
     id_col: str = "vec_id",

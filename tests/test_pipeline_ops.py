@@ -94,6 +94,47 @@ def test_lsh_near_dup_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_ivf_topk_recall(spark):
+    """IVF with reduced probing keeps high top-k recall vs brute force; with
+    full probing it is exactly brute force (also pinned by the oracle)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from fsharp_data_validation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 32)) * 4
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                float(x) for x in base[i % 6] + rng.standard_normal(32) * 0.5
+            ],
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    qs = df.filter(F.col("vec_id") % 40 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, qs, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, qs, k=5, n_cells=6, n_probe=6).collect()
+    }
+    assert full == exact  # full probing == brute force
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, qs, k=5, n_cells=6, n_probe=2).collect()
+    }
+    recall = len(probed & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_salted_uniqueness_equivalent(spark):
     """Two-stage salted aggregation (adversarial hot-key path) returns the
     same duplicate groups as the direct hash agg."""
