@@ -181,6 +181,26 @@ def q_ts_gap_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks(histogram(fa, "gap_s", 3600.0, 24), histogram(fb, "gap_s", 3600.0, 24))
 
 
+def q_element_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element constraints over an array column with per-index provenance
+    (disputeAnyWithFact, VCtx.fs:416-429): split text into words and flag
+    words longer than 6 chars; violation paths are ``words.[i]`` exactly as
+    the reference serializer renders element segments."""
+    from fsharp_data_validation_spark.functions.compiler import Suite
+
+    t = _transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
+    suite = (
+        Suite("elements")
+        .field("words", F.split(F.col("text"), " "))
+        .each_check("word_too_long", lambda x: F.length(x) <= 6)
+        .done()
+    )
+    res = suite.run(t, KEY)
+    return res.violations.select(
+        "conv_id", "turn_idx", "ts", F.col("path_str").alias("path"), "code"
+    )
+
+
 # --- training-data pipeline: dedup / text / similarity ----------------------
 
 
@@ -377,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
+        "element_suite": q_element_suite,
         "conv_stats": q_conv_stats,
         "minmax": q_minmax,
         "q1_pricing": q_q1_pricing,
@@ -656,6 +677,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ts_gap_psi": _gap_drift_oracle(_PSI_FROM_J),
         "ts_gap_ks": _gap_drift_oracle(_KS_FROM_J),
+        "element_suite": with_transcripts(
+            """
+            SELECT conv_id, turn_idx, ts,
+                   'words.[' || CAST(i - 1 AS VARCHAR) || ']' AS path,
+                   'word_too_long' AS code
+            FROM (
+              SELECT conv_id, turn_idx, ts, w,
+                     unnest(range(1, len(w) + 1)) AS i
+              FROM (
+                SELECT conv_id, turn_idx, ts, string_split(text, ' ') AS w
+                FROM transcripts WHERE text IS NOT NULL
+              ) b
+            ) x
+            WHERE length(w[i]) > 6
+            """
+        ),
         "conv_stats": with_transcripts(
             "SELECT conv_id, COUNT(*) AS n_turns, MAX(turn_idx) AS max_turn, "
             "COUNT(DISTINCT role) AS n_roles, "
