@@ -231,10 +231,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup pairs (hamming <= 3)."""
-    from fsharp_data_validation_spark.operators.dedup import simhash_pairs
+    from fsharp_data_validation_spark.operators.dedup import simhash_banded_pairs
     from fsharp_data_validation_spark.sources.documents import load_docs
 
-    return simhash_pairs(load_docs(spark, sf_dir), "doc_id", "text", 3).select(
+    return simhash_banded_pairs(load_docs(spark, sf_dir), "doc_id", "text", 3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 

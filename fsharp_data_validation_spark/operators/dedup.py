@@ -261,3 +261,59 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_banded_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """EXACT SimHash near-dup pairs, sub-quadratic: the 60-bit signature is
+    split into ``max_hamming + 1`` chunks; by pigeonhole, any pair within
+    the hamming budget agrees on at least one whole chunk, so candidates
+    come from an equi-join on (chunk index, chunk value) instead of the
+    all-pairs cross join. Candidates are then verified with the true
+    ``bit_count(xor)`` distance — identical output to ``simhash_pairs``
+    (recall 1.0 by construction), which is how the oracle checks it.
+
+    Scale: candidate count per bucket is c^2 over docs sharing a 15-bit
+    chunk value — uniform-ish for hash-like signatures, and the join
+    shuffles O(n * bands) rows instead of materializing n^2/2 pairs.
+    """
+    bands = max_hamming + 1
+    chunk_bits = (SIMHASH_BITS + bands - 1) // bands
+    mask = (1 << chunk_bits) - 1
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), i * chunk_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for i in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*chunk_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.key").alias("key"))
+    cand = (
+        buckets.alias("a")
+        .join(
+            buckets.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -94,6 +94,22 @@ def test_lsh_near_dup_recall(spark):
     assert recall >= 0.7, recall
 
 
+def test_simhash_banded_equals_allpairs(spark):
+    """Pigeonhole banding loses nothing: banded candidates + verify produce
+    exactly the all-pairs result."""
+    from fsharp_data_validation_spark.operators.dedup import (
+        simhash_banded_pairs,
+        simhash_pairs,
+    )
+
+    docs = _docs(spark)
+    allp = sorted(map(tuple, simhash_pairs(docs, "doc_id", "text", 8).collect()))
+    banded = sorted(
+        map(tuple, simhash_banded_pairs(docs, "doc_id", "text", 8).collect())
+    )
+    assert allp and allp == banded
+
+
 def test_ivf_topk_recall(spark):
     """IVF with reduced probing keeps high top-k recall vs brute force; with
     full probing it is exactly brute force (also pinned by the oracle)."""
