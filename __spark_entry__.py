@@ -280,6 +280,37 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary image payloads in
+    Spark SQL (5-byte header: BE uint16 width/height + uint8 channels,
+    then the text bytes as fake pixel data), decode them back with the
+    Arrow-batched mapInPandas header parser. Oracle = the closed form the
+    payloads were built from."""
+    from fsharp_data_validation_spark.operators.multimodal import decode_image_meta
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    d = load_docs(spark, sf_dir)
+    width = (F.col("doc_id") % 32 + 64).cast("int")
+    height = (F.col("doc_id") % 24 + 48).cast("int")
+    channels = (F.col("doc_id") % 3 + 1).cast("int")
+    payload = F.concat(
+        F.unhex(F.lpad(F.hex(width), 4, "0")),
+        F.unhex(F.lpad(F.hex(height), 4, "0")),
+        F.unhex(F.lpad(F.hex(channels), 2, "0")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("synthetic").alias("source"),
+            F.length(payload).alias("n_bytes").cast("long"),
+        ).alias("meta"),
+    )
+    return decode_image_meta(media)
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for query vectors (vec_id % 100 == 0):
     broadcast queries x one scan of the vectors."""
@@ -410,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "media_meta": q_media_meta,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -772,6 +804,13 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
             SELECT query_id, neighbor_id, rnk, sim FROM r WHERE rnk <= 3
             """
+        ),
+        "media_meta": with_docs(
+            "SELECT doc_id AS media_id, "
+            "CAST(doc_id % 32 + 64 AS INT) AS width, "
+            "CAST(doc_id % 24 + 48 AS INT) AS height, "
+            "CAST(doc_id % 3 + 1 AS INT) AS channels, "
+            "CAST(octet_length(encode(text)) + 5 AS BIGINT) AS n_bytes FROM docs"
         ),
         "ann_ivf": with_vecs(
             f"""
