@@ -205,6 +205,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 13,
     round_to: int = 6,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbor: k-means coarse
     quantizer -> per-cell inverted lists -> probe the ``n_probe`` nearest
@@ -230,7 +231,9 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
     )
     ml_df = v.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(ml_df)
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(ml_df)
     assigned = model.transform(ml_df).select(
         "neighbor_id", "v", F.col("prediction").alias("cell")
     )
