@@ -206,3 +206,37 @@ def test_synth_transcripts_deterministic(spark):
     sizes = t.groupBy("conv_id").count()
     mx = sizes.agg(F.max("count")).first()[0]
     assert mx > 50  # hot conversations concentrate ~1.25% of rows each
+
+
+def test_rowlocal_signatures_equal_explode_formulation(spark):
+    """Pin the shuffle-free (array_min over transform) MinHash signatures to
+    the reference explode+groupBy formulation, and pin that distinct seeds
+    produce distinct hash columns (guards the pyspark higher-order-function
+    arity trap: a two-arg lambda binds (element, index), so a default-arg
+    seed capture silently degrades every column to the same hash)."""
+    from fsharp_data_validation_spark.operators.dedup import (
+        _shingle_sets,
+        minhash_signatures,
+    )
+
+    k = 8
+    sets_df = _shingle_sets(_docs(spark), "doc_id", "text", 3)
+    new = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(k)]
+        for r in minhash_signatures(sets_df, k).collect()
+    }
+    ex = sets_df.select("doc_id", F.explode("sh").alias("x"))
+    old = {
+        r["doc_id"]: [r[f"m{i}"] for i in range(k)]
+        for r in ex.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("x"))).alias(f"m{i}")
+                for i in range(k)
+            ]
+        )
+        .collect()
+    }
+    assert new == old
+    for sig in new.values():
+        assert len(set(sig)) > 1, "seeds collapsed: every min-hash identical"
