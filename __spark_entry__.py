@@ -201,6 +201,48 @@ def q_element_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nested_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested child-suite composition (refuteWithProof VCtx.fs:253-269 /
+    applyFailures VCtx.fs:36-47): a derived ``meta`` struct is validated by
+    a child suite — violations carry dotted nested provenance
+    (``meta.role``, ``meta.tool``), a child refute gates the post-nesting
+    parent check, and the whole thing stays one shuffle-free projection."""
+    from fsharp_data_validation_spark.functions.compiler import Suite
+
+    t = _transcripts(spark, sf_dir).withColumn(
+        "meta",
+        F.when(
+            F.col("role").isNotNull() | F.col("tool").isNotNull(),
+            F.struct("role", "tool"),
+        ),
+    )
+    child = (
+        Suite("metaChild")
+        .field("role", F.col("meta.role"))
+        .required("roleRequired")
+        .isin("roleEnum", ROLES)
+        .field("tool", F.col("meta.tool"))
+        .optional()
+        .rlike("toolFormat", "^tool_[0-9]+$")
+        .done()
+    )
+    suite = (
+        Suite("nested")
+        .field("meta", F.col("meta"))
+        .required("metaRequired")
+        .done()
+        .nested("meta", child, guard=F.col("meta").isNotNull())
+    )
+    suite.field("meta", F.col("meta")).check(
+        "toolOnToolRole",
+        ~((F.col("meta.role") == "tool") & F.col("meta.tool").isNull()),
+    )
+    res = suite.run(t, KEY)
+    return res.violations.select(
+        "conv_id", "turn_idx", "ts", F.col("path_str").alias("path"), "code"
+    )
+
+
 # --- training-data pipeline: dedup / text / similarity ----------------------
 
 
@@ -432,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
         "element_suite": q_element_suite,
+        "nested_suite": q_nested_suite,
         "conv_stats": q_conv_stats,
         "minmax": q_minmax,
         "q1_pricing": q_q1_pricing,
@@ -712,6 +755,33 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ts_gap_psi": _gap_drift_oracle(_PSI_FROM_J),
         "ts_gap_ks": _gap_drift_oracle(_KS_FROM_J),
+        "nested_suite": with_transcripts(
+            f"""
+            SELECT conv_id, turn_idx, ts, path, code FROM (
+              SELECT conv_id, turn_idx, ts, 'meta' AS path,
+                     'metaRequired' AS code
+              FROM transcripts WHERE role IS NULL AND tool IS NULL
+              UNION ALL
+              SELECT conv_id, turn_idx, ts, 'meta.role', 'roleRequired'
+              FROM transcripts
+              WHERE NOT (role IS NULL AND tool IS NULL) AND role IS NULL
+              UNION ALL
+              SELECT conv_id, turn_idx, ts, 'meta.role', 'roleEnum'
+              FROM transcripts
+              WHERE role IS NOT NULL AND role NOT IN ({_ROLES_SQL})
+              UNION ALL
+              SELECT conv_id, turn_idx, ts, 'meta.tool', 'toolFormat'
+              FROM transcripts
+              WHERE tool IS NOT NULL
+                AND NOT regexp_matches(tool, '^tool_[0-9]+$')
+              UNION ALL
+              -- post-gate parent check: reached only when no child branch
+              -- refuted (roleRequired needs role IS NULL, impossible here)
+              SELECT conv_id, turn_idx, ts, 'meta', 'toolOnToolRole'
+              FROM transcripts WHERE role = 'tool' AND tool IS NULL
+            ) v
+            """
+        ),
         "element_suite": with_transcripts(
             """
             SELECT conv_id, turn_idx, ts,

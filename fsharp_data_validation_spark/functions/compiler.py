@@ -35,7 +35,7 @@ parallel at any scale.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
 from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -48,6 +48,7 @@ REFUTE = "refute"
 DISPUTE = "dispute"
 EACH_DISPUTE = "each_dispute"
 EACH_REFUTE = "each_refute"
+PROOF_GATE = "proof_gate"  # refuteWithProof: child failure refutes parent
 
 
 def _col(c: ColumnLike) -> Column:
@@ -65,6 +66,14 @@ class Constraint:
     # element constraints: array column + per-element ok fn
     array_col: Optional[Column] = None
     elem_ok: Optional[Callable[[Column, Column], Column]] = None
+    # nested suites (refuteWithProof VCtx.fs:253-269 / applyFailures
+    # VCtx.fs:36-47): a child branch's refute mask starts from the parent's
+    # mask at the nesting point, and a PROOF_GATE refutes the parent branch
+    # when child branches failed (gate_on="any") or were refuted
+    # (gate_on="refute")
+    parent_branch: Optional[str] = None
+    child_branches: Optional[List[str]] = None
+    gate_on: Optional[str] = None
 
 
 class _Branch:
@@ -217,13 +226,89 @@ class Suite:
     def global_(self) -> _Branch:
         return _Branch(self, None, None)
 
+    def nested(
+        self,
+        name: str,
+        child: "Suite",
+        guard: Optional[Column] = None,
+        mode: str = "apply",
+    ) -> "Suite":
+        """Compose a whole child suite under field ``name`` — the two
+        reference composition shapes, selected by ``mode``:
+
+        - ``"apply"`` (default) ≅ ``applyFailures``-style nesting as used by
+          ``optional``/``validateEach`` (VCtx.fs:36-47,110-133): child field
+          failures are path-prefixed with ``name`` (nested dotted
+          provenance, e.g. ``meta.role``), child *global* failures are filed
+          under ``[name]``, and only a child **refute** refutes the parent
+          branch — child disputes accumulate and later parent checks still
+          run (DisputedCtx carries the value forward).
+        - ``"proof"`` ≅ ``refuteWithProof`` (VCtx.fs:253-269): child field
+          failures keep their own paths (the reference does NOT prefix
+          them), child global failures are filed under ``[name]``, and ANY
+          child failure refutes the parent branch (an Invalid proof ends
+          the branch). Divergence note: the reference's ``Map.add [n] gfs``
+          *replaces* an existing ``[n]`` entry and files it even when empty;
+          the engine unions violation rows instead (no observable
+          difference unless a child field shadows the parent's name).
+
+        In both modes, sibling branches keep evaluating (applicative
+        independence), and if the parent branch is already refuted at the
+        nesting point no child constraint runs (bind short-circuit,
+        VCtx.fs:15-18). The child suite must reference columns by full
+        expression (e.g. ``F.col("meta.role")``); ``guard`` (e.g.
+        struct-NOT-NULL) gates every child check. Everything stays a
+        compile-time mask — one projection, no extra pass, no UDFs."""
+        if mode not in ("apply", "proof"):
+            raise ValueError(f"nested mode must be 'apply' or 'proof', got {mode!r}")
+        child_keys: List[str] = []
+        for c in child._constraints:
+            nb = f"{name}${c.branch}"
+            if nb not in child_keys:
+                child_keys.append(nb)
+            g = c.guard
+            if guard is not None:
+                g = guard if g is None else (g & guard)
+            if mode == "apply":
+                new_path = (name,) + c.path
+            else:
+                new_path = (name,) if not c.path else c.path
+            self._constraints.append(
+                dc_replace(
+                    c,
+                    path=new_path,
+                    branch=nb,
+                    guard=g,
+                    parent_branch=(
+                        f"{name}${c.parent_branch}" if c.parent_branch else name
+                    ),
+                    child_branches=(
+                        [f"{name}${b}" for b in c.child_branches]
+                        if c.child_branches
+                        else None
+                    ),
+                )
+            )
+        self._constraints.append(
+            Constraint(
+                code=f"{name}$__proof_gate",
+                kind=PROOF_GATE,
+                path=(name,),
+                ok=None,
+                branch=name,
+                child_branches=child_keys,
+                gate_on="refute" if mode == "apply" else "any",
+            )
+        )
+        return self
+
     @property
     def constraints(self) -> List[Constraint]:
         return list(self._constraints)
 
     @property
     def codes(self) -> List[str]:
-        return [c.code for c in self._constraints]
+        return [c.code for c in self._constraints if c.kind != PROOF_GATE]
 
     # -- compilation ----------------------------------------------------------
     def _flag_columns(self) -> List[Tuple[Constraint, Column, Column]]:
@@ -232,17 +317,47 @@ class Suite:
         array/struct allocation (stays inside whole-stage codegen)."""
         out: List[Tuple[Constraint, Column, Column]] = []
         refuted: dict[str, Column] = {}
-        for c in self._constraints:
+        for item in self._compiled():
+            out.append((item[1], item[2], item[3]))
+        return out
+
+    def _compiled(self):
+        """Shared compile pass: yields ``(ord, constraint, fail, n_failures,
+        prev_refuted)`` for every non-gate constraint, applying the full
+        mask algebra exactly once for all consumers:
+
+        - cumulative per-branch refute masks (bind short-circuit,
+          VCtx.fs:15-18);
+        - nested child branches inherit the parent's mask as of the nesting
+          point (a child under an already-refuted field never runs);
+        - PROOF_GATEs refute their branch when child branches failed
+          (``gate_on="any"`` ≅ refuteWithProof) or were refuted
+          (``gate_on="refute"`` ≅ applyFailures/optional composition); the
+          gate itself files nothing.
+        """
+        refuted: dict[str, Column] = {}
+        br_any: dict[str, Column] = {}
+        br_refute: dict[str, Column] = {}
+        for ord_, c in enumerate(self._constraints):
+            if c.branch not in refuted and c.parent_branch is not None:
+                refuted[c.branch] = refuted.get(c.parent_branch, F.lit(False))
             prev_refuted = refuted.get(c.branch, F.lit(False))
+            if c.kind == PROOF_GATE:
+                src = br_refute if c.gate_on == "refute" else br_any
+                fire = F.lit(False)
+                for b in c.child_branches or []:
+                    fire = fire | src.get(b, F.lit(False))
+                fire = fire & ~prev_refuted
+                refuted[c.branch] = prev_refuted | fire
+                br_refute[c.branch] = br_refute.get(c.branch, F.lit(False)) | fire
+                continue
             if c.kind in (REFUTE, DISPUTE):
-                fail = ~F.coalesce(c.ok, F.lit(True))
+                fail = ~F.coalesce(c.ok, F.lit(True))  # NULL check => skipped
                 if c.guard is not None:
                     fail = fail & c.guard
                 fail = fail & ~prev_refuted
-                out.append((c, fail, fail.cast("int")))
-                if c.kind == REFUTE:
-                    refuted[c.branch] = prev_refuted | fail
-            else:
+                n = fail.cast("int")
+            else:  # element constraints
                 n_elem = F.size(
                     F.filter(
                         c.array_col,
@@ -257,10 +372,11 @@ class Suite:
                     F.lit(0)
                 )
                 fail = n > 0
-                out.append((c, fail, n))
-                if c.kind == EACH_REFUTE:
-                    refuted[c.branch] = prev_refuted | fail
-        return out
+            br_any[c.branch] = br_any.get(c.branch, F.lit(False)) | fail
+            if c.kind in (REFUTE, EACH_REFUTE):
+                refuted[c.branch] = prev_refuted | fail
+                br_refute[c.branch] = br_refute.get(c.branch, F.lit(False)) | fail
+            yield ord_, c, fail, n, prev_refuted
 
     def any_failure_column(self) -> Column:
         """Boolean 'row emits at least one failure' — used as the split
@@ -288,14 +404,8 @@ class Suite:
     def failures_column(self) -> Column:
         """Compile the whole suite into ONE array<struct> expression."""
         contributions: List[Column] = []
-        refuted: dict[str, Column] = {}
-        for ord_, c in enumerate(self._constraints):
-            prev_refuted = refuted.get(c.branch, F.lit(False))
+        for ord_, c, fail, _n, prev_refuted in self._compiled():
             if c.kind in (REFUTE, DISPUTE):
-                fail = ~F.coalesce(c.ok, F.lit(True))  # NULL check => skipped
-                if c.guard is not None:
-                    fail = fail & c.guard
-                fail = fail & ~prev_refuted
                 entry = F.when(
                     fail,
                     F.struct(
@@ -305,8 +415,6 @@ class Suite:
                     ),
                 )
                 contributions.append(F.array(entry))
-                if c.kind == REFUTE:
-                    refuted[c.branch] = prev_refuted | fail
             else:  # element constraints
                 base = c.path
 
@@ -333,14 +441,6 @@ class Suite:
                     arr_guard & ~prev_refuted, mk_entries(c.array_col)
                 ).otherwise(F.array().cast(f"array<{FAILURE_STRUCT}>"))
                 contributions.append(entries)
-                if c.kind == EACH_REFUTE:
-                    any_fail = F.coalesce(
-                        F.exists(c.array_col, lambda x: ~F.coalesce(c.elem_ok(x, F.lit(0)), F.lit(True))),
-                        F.lit(False),
-                    )
-                    if c.guard is not None:
-                        any_fail = any_fail & c.guard
-                    refuted[c.branch] = prev_refuted | (any_fail & ~prev_refuted)
         if not contributions:
             return F.array().cast(f"array<{FAILURE_STRUCT}>")
         return F.array_compact(F.concat(*contributions)).alias("failures")
@@ -405,6 +505,8 @@ class SuiteResult:
             F.count(F.lit(1)).alias("rows_scanned"),
             F.sum((F.col("_nf") > 0).cast("long")).alias("rows_with_violations"),
             F.sum("_nf").cast("long").alias("violations"),
-            F.lit(len(self.suite.constraints)).alias("constraints_evaluated"),
+            F.lit(
+                len([c for c in self.suite.constraints if c.kind != PROOF_GATE])
+            ).alias("constraints_evaluated"),
             (F.sum("_nf") == 0).alias("pass"),
         )

@@ -1,0 +1,303 @@
+"""Nested-suite composition (``Suite.nested``) pinned against the pure
+kernel's two reference composition shapes:
+
+- ``mode="proof"`` ≅ ``refuteWithProof`` (VCtx.fs:253-269): child field
+  failures keep their own (unprefixed) paths, child globals are filed under
+  the parent key, ANY child failure refutes the parent branch;
+- ``mode="apply"`` ≅ ``applyFailures``/``optional`` composition
+  (VCtx.fs:36-47,110-133): child paths are prefixed with the parent name,
+  child disputes accumulate while later parent checks continue, child
+  refutes refute the parent branch.
+"""
+
+import re
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from fsharp_data_validation_spark.core import Validation, library as L
+from fsharp_data_validation_spark.core.vctx import merge_all
+from fsharp_data_validation_spark.functions.compiler import Suite
+
+ROLES3 = ["user", "assistant", "tool"]
+
+META = StructType([StructField("role", StringType()), StructField("tool", StringType())])
+SCHEMA = StructType(
+    [
+        StructField("rid", IntegerType()),
+        StructField("meta", META),
+        StructField("other", IntegerType()),
+    ]
+)
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                rid=r["rid"],
+                meta=None if r["meta"] is None else Row(**r["meta"]),
+                other=r["other"],
+            )
+            for r in rows
+        ],
+        schema=SCHEMA,
+    )
+
+
+def _collect_failures(res):
+    got = {}
+    for r in res.violations.collect():
+        got.setdefault(r["rid"], set()).add((r["path_str"], r["code"]))
+    return got
+
+
+def _kernel_proof_failures(branches) -> set:
+    out = set()
+    for branch in branches:
+        p = branch.proof()
+        if not p.valid:
+            for f in p.failures:
+                out.add(("", f))
+            for path, fs in p.fields.items():
+                for f in fs:
+                    out.add((".".join(s[0].lower() + s[1:] for s in path), f))
+    return out
+
+
+def value_matrix():
+    metas = [
+        None,
+        {"role": None, "tool": None},  # child refute
+        {"role": "robot", "tool": None},  # child dispute
+        {"role": "robot", "tool": "bad"},  # two child branches fail
+        {"role": None, "tool": "tool_1"},  # refuted role, valid tool branch
+        {"role": "user", "tool": None},  # clean children -> toolPresent fires
+        {"role": "tool", "tool": "tool_9"},  # fully valid
+        {"role": "user", "tool": "nope"},  # toolFormat only
+    ]
+    rows = []
+    for m in metas:
+        for other in (1, -1):
+            rows.append({"rid": len(rows), "meta": m, "other": other})
+    return rows
+
+
+def _multi_branch_child() -> Suite:
+    return (
+        Suite("metaChild")
+        .field("role", F.col("meta.role"))
+        .required("roleRequired")
+        .isin("roleEnum", ROLES3)
+        .field("tool", F.col("meta.tool"))
+        .optional()
+        .rlike("toolFormat", "tool_[0-9]+")
+        .done()
+    )
+
+
+def _parent_suite(mode: str) -> Suite:
+    suite = (
+        Suite("parent")
+        .field("meta", F.col("meta"))
+        .required("metaRequired")
+        .done()
+        .nested("meta", _multi_branch_child(), guard=F.col("meta").isNotNull(), mode=mode)
+    )
+    # post-gate parent-branch check: skipped when the gate refuted the branch
+    suite.field("meta", F.col("meta")).check(
+        "toolPresent", F.col("meta.tool").isNotNull()
+    )
+    suite.field("other", F.col("other")).check("otherPositive", F.col("other") > 0)
+    return suite
+
+
+# --------------------------------------------------------------------------
+# mode="proof"  ≅  refuteWithProof (VCtx.fs:253-269), kernel-pinned
+# --------------------------------------------------------------------------
+
+
+def _kernel_proof_mode(row: dict) -> set:
+    def child_proof(m):
+        role = (
+            Validation.field("role", m["role"])
+            .refute_with(L.is_required("roleRequired"))
+            .dispute_with_fact("roleEnum", lambda v: v in ROLES3)
+            .qed()
+        )
+        tool = (
+            Validation.field("tool", m["tool"])
+            .optional(
+                lambda v: Validation.value(v).dispute_with_fact(
+                    "toolFormat",
+                    lambda x: re.fullmatch("tool_[0-9]+", x) is not None,
+                )
+            )
+            .qed()
+        )
+        return merge_all([role, tool]).proof()
+
+    parent = (
+        Validation.field("meta", row["meta"])
+        .refute_with(L.is_required("metaRequired"))
+        .refute_with_proof(child_proof)
+        .dispute_with_fact(
+            # after refuteWithProof the carried value is the child proof's
+            # value (a branch-value tuple); reach back to the row
+            "toolPresent",
+            lambda _v: row["meta"]["tool"] is not None,
+        )
+        .qed()
+    )
+    other = (
+        Validation.field("other", row["other"])
+        .dispute_with_fact("otherPositive", lambda v: v > 0)
+        .qed()
+    )
+    return _kernel_proof_failures((parent, other))
+
+
+def test_proof_mode_matches_kernel(spark):
+    rows = value_matrix()
+    res = _parent_suite("proof").run(_rows_df(spark, rows), ["rid"])
+    got = _collect_failures(res)
+    valid_ids = {r["rid"] for r in res.valid.select("rid").collect()}
+    for row in rows:
+        expected = _kernel_proof_mode(row)
+        actual = got.get(row["rid"], set())
+        assert actual == expected, f"row={row} spark={actual} kernel={expected}"
+        assert (row["rid"] in valid_ids) == (not expected)
+
+
+# --------------------------------------------------------------------------
+# mode="apply"  ≅  optional/applyFailures composition, kernel-pinned for a
+# single-branch child (the shape the reference can express directly)
+# --------------------------------------------------------------------------
+
+
+def _single_branch_suite() -> Suite:
+    child = (
+        Suite("roleChild")
+        .field("role", F.col("meta.role"))
+        .required("roleRequired")
+        .isin("roleEnum", ROLES3)
+        .done()
+    )
+    return (
+        Suite("parent")
+        .field("meta", F.col("meta"))
+        .required("metaRequired")
+        .done()
+        .nested("meta", child, guard=F.col("meta").isNotNull(), mode="apply")
+    )
+
+
+def _kernel_apply_mode(row: dict) -> set:
+    # NOTE: the kernel chain stops at the composition itself — in the
+    # reference, optional() REPLACES the branch scope with the child's
+    # (value-transformation chaining), so a later check would file under
+    # the child's path. The engine's row model transforms no values and
+    # keeps parent scope for post-gate checks; that gating behavior is
+    # pinned Spark-side in test_apply_mode_multi_branch_expectations.
+    parent = (
+        Validation.field("meta", row["meta"])
+        .refute_with(L.is_required("metaRequired"))
+        .optional(
+            lambda m: Validation.field("role", m["role"])
+            .refute_with(L.is_required("roleRequired"))
+            .dispute_with_fact("roleEnum", lambda v: v in ROLES3)
+        )
+        .qed()
+    )
+    return _kernel_proof_failures((parent,))
+
+
+def test_apply_mode_single_branch_matches_kernel_optional(spark):
+    rows = value_matrix()
+    res = _single_branch_suite().run(_rows_df(spark, rows), ["rid"])
+    got = _collect_failures(res)
+    for row in rows:
+        expected = _kernel_apply_mode(row)
+        actual = got.get(row["rid"], set())
+        assert actual == expected, f"row={row} spark={actual} kernel={expected}"
+
+
+# --------------------------------------------------------------------------
+# mode="apply", multi-branch child — the engine's columnar generalization
+# (per-branch semantics are the pinned optional laws; branches applicative)
+# --------------------------------------------------------------------------
+
+
+def test_apply_mode_multi_branch_expectations(spark):
+    rows = [
+        {"rid": 0, "meta": None, "other": 1},
+        {"rid": 1, "meta": {"role": None, "tool": None}, "other": 1},
+        {"rid": 2, "meta": {"role": "robot", "tool": None}, "other": -1},
+        {"rid": 3, "meta": {"role": "user", "tool": "nope"}, "other": 1},
+        {"rid": 4, "meta": {"role": "user", "tool": None}, "other": 1},
+        {"rid": 5, "meta": {"role": "tool", "tool": "tool_9"}, "other": 1},
+    ]
+    res = _parent_suite("apply").run(_rows_df(spark, rows), ["rid"])
+    got = _collect_failures(res)
+    assert got.get(0) == {("meta", "metaRequired")}
+    # child REFUTE -> parent refuted -> toolPresent gated
+    assert got.get(1) == {("meta.role", "roleRequired")}
+    # child DISPUTE -> parent continues -> toolPresent fires; sibling too
+    assert got.get(2) == {
+        ("meta.role", "roleEnum"),
+        ("meta", "toolPresent"),
+        ("other", "otherPositive"),
+    }
+    # dispute in the tool child branch; toolPresent passes (tool not null)
+    assert got.get(3) == {("meta.tool", "toolFormat")}
+    # clean children -> toolPresent evaluated and fires
+    assert got.get(4) == {("meta", "toolPresent")}
+    assert 5 not in got
+
+
+def test_two_level_nesting(spark):
+    inner_schema = StructType([StructField("c", StringType())])
+    mid_schema = StructType([StructField("b", inner_schema)])
+    schema = StructType(
+        [StructField("rid", IntegerType()), StructField("a", mid_schema)]
+    )
+    inner = Suite("inner").field("c", F.col("a.b.c")).required("cRequired").done()
+    mid = (
+        Suite("mid")
+        .field("b", F.col("a.b"))
+        .required("bRequired")
+        .done()
+        .nested("b", inner, guard=F.col("a.b").isNotNull())
+    )
+    outer = (
+        Suite("outer")
+        .field("a", F.col("a"))
+        .required("aRequired")
+        .done()
+        .nested("a", mid, guard=F.col("a").isNotNull())
+    )
+    outer.field("a", F.col("a")).check("aFinal", F.lit(False))
+
+    df = spark.createDataFrame(
+        [
+            Row(rid=1, a=None),
+            Row(rid=2, a=Row(b=None)),
+            Row(rid=3, a=Row(b=Row(c=None))),
+            Row(rid=4, a=Row(b=Row(c="x"))),
+        ],
+        schema=schema,
+    )
+    res = outer.run(df, ["rid"])
+    got = _collect_failures(res)
+    assert got[1] == {("a", "aRequired")}
+    assert got[2] == {("a.b", "bRequired")}  # inner + aFinal both gated
+    assert got[3] == {("a.b.c", "cRequired")}  # deep provenance; aFinal gated
+    assert got[4] == {("a", "aFinal")}  # clean children reach the final check
+
+
+def test_nested_suite_single_projection_plan(spark):
+    """Nesting must stay a compile-time mask: one projection, no Exchange."""
+    df = _rows_df(spark, [{"rid": 1, "meta": {"role": "user", "tool": None}, "other": 1}])
+    flagged = _parent_suite("apply").with_failures(df)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
