@@ -243,6 +243,33 @@ def q_nested_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_each_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element nested validation (refuteEachWithProof, VCtx.fs:274-287):
+    turns are collected per conversation into an ordered array of structs
+    and each element is validated by a child suite — violations carry
+    ``turns.[i].role``-style element provenance. Scale note: the groupBy
+    shuffles one row per (conv, turn) once; the per-element suite itself is
+    higher-order functions in one projection over the grouped rows."""
+    from fsharp_data_validation_spark.functions.compiler import ElementSuite, Suite
+
+    t = _transcripts(spark, sf_dir)
+    conv = t.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "role"))).alias("turns")
+    )
+    child = (
+        ElementSuite("turn")
+        .field("role")
+        .required("roleRequired")
+        .isin("roleEnum", ROLES)
+        .field("turn_idx")
+        .check("turnIdxNonNegative", lambda v: v >= 0)
+        .done()
+    )
+    suite = Suite("convTurns").field("turns").each_nested(child).done()
+    res = suite.run(conv, ["conv_id"])
+    return res.violations.select("conv_id", F.col("path_str").alias("path"), "code")
+
+
 # --- training-data pipeline: dedup / text / similarity ----------------------
 
 
@@ -475,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_ks": q_ts_gap_ks,
         "element_suite": q_element_suite,
         "nested_suite": q_nested_suite,
+        "each_nested": q_each_nested,
         "conv_stats": q_conv_stats,
         "minmax": q_minmax,
         "q1_pricing": q_q1_pricing,
@@ -779,6 +807,35 @@ def oracle_sql() -> dict[str, str]:
               -- refuted (roleRequired needs role IS NULL, impossible here)
               SELECT conv_id, turn_idx, ts, 'meta', 'toolOnToolRole'
               FROM transcripts WHERE role = 'tool' AND tool IS NULL
+            ) v
+            """
+        ),
+        "each_nested": with_transcripts(
+            f"""
+            , ranked AS (
+              SELECT conv_id, role, turn_idx,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY conv_id
+                       ORDER BY turn_idx ASC NULLS FIRST, role ASC NULLS FIRST
+                     ) AS rn
+              FROM transcripts
+            )
+            SELECT conv_id, path, code FROM (
+              SELECT conv_id,
+                     'turns.[' || CAST(rn - 1 AS VARCHAR) || '].role' AS path,
+                     'roleRequired' AS code
+              FROM ranked WHERE role IS NULL
+              UNION ALL
+              SELECT conv_id,
+                     'turns.[' || CAST(rn - 1 AS VARCHAR) || '].role',
+                     'roleEnum'
+              FROM ranked
+              WHERE role IS NOT NULL AND role NOT IN ({_ROLES_SQL})
+              UNION ALL
+              SELECT conv_id,
+                     'turns.[' || CAST(rn - 1 AS VARCHAR) || '].turn_idx',
+                     'turnIdxNonNegative'
+              FROM ranked WHERE turn_idx IS NOT NULL AND turn_idx < 0
             ) v
             """
         ),

@@ -63,9 +63,11 @@ class Constraint:
     ok: Optional[Column]  # boolean Column; NULL counts as "check skipped"
     branch: str
     guard: Optional[Column] = None  # applicability (optional-wrapping etc.)
-    # element constraints: array column + per-element ok fn
+    # element constraints: array column + per-element ok fn; nested element
+    # suites (refuteEachWithProof) file under path + "[i]" + elem_subpath
     array_col: Optional[Column] = None
     elem_ok: Optional[Callable[[Column, Column], Column]] = None
+    elem_subpath: Tuple[str, ...] = ()
     # nested suites (refuteWithProof VCtx.fs:253-269 / applyFailures
     # VCtx.fs:36-47): a child branch's refute mask starts from the parent's
     # mask at the nesting point, and a PROOF_GATE refutes the parent branch
@@ -74,6 +76,62 @@ class Constraint:
     parent_branch: Optional[str] = None
     child_branches: Optional[List[str]] = None
     gate_on: Optional[str] = None
+
+
+class ElementSuite:
+    """Per-element child suite for ``each_nested`` (≅ refuteEachWithProof,
+    VCtx.fs:274-287): an ordered set of constraints applied to every array
+    element, with sub-field provenance. Access the element's sub-fields via
+    ``field(name)`` (struct elements) or the element itself via
+    ``global_()``; within one sub-field branch a refute skips that
+    element's later checks (the child CE's own bind chain), while the
+    element's branches stay applicative."""
+
+    def __init__(self, name: str = "each"):
+        self.name = name
+        # (subpath, code, kind, ok_fn: elem Column -> bool Column)
+        self._specs: List[Tuple[Tuple[str, ...], str, str, Callable]] = []
+
+    def field(self, name: str) -> "_ElementBranch":
+        return _ElementBranch(self, (name,), lambda x, n=name: x[n])
+
+    def global_(self) -> "_ElementBranch":
+        return _ElementBranch(self, (), lambda x: x)
+
+
+class _ElementBranch:
+    def __init__(self, suite: ElementSuite, subpath: Tuple[str, ...], get):
+        self.suite = suite
+        self.subpath = subpath
+        self.get = get
+
+    def _add(self, code: str, kind: str, ok_fn: Callable) -> "_ElementBranch":
+        self.suite._specs.append((self.subpath, code, kind, ok_fn))
+        return self
+
+    def required(self, code: str) -> "_ElementBranch":
+        return self._add(code, REFUTE, lambda x: self.get(x).isNotNull())
+
+    def refute_check(self, code: str, fn: Callable[[Column], Column]) -> "_ElementBranch":
+        return self._add(code, REFUTE, lambda x: fn(self.get(x)))
+
+    def check(self, code: str, fn: Callable[[Column], Column]) -> "_ElementBranch":
+        return self._add(code, DISPUTE, lambda x: fn(self.get(x)))
+
+    def rlike(self, code: str, pattern: str) -> "_ElementBranch":
+        return self.check(code, lambda v: v.rlike(pattern))
+
+    def isin(self, code: str, allowed: Sequence) -> "_ElementBranch":
+        return self.check(code, lambda v: v.isin(list(allowed)))
+
+    def field(self, name: str) -> "_ElementBranch":
+        return self.suite.field(name)
+
+    def global_(self) -> "_ElementBranch":
+        return self.suite.global_()
+
+    def done(self) -> ElementSuite:
+        return self.suite
 
 
 class _Branch:
@@ -183,6 +241,63 @@ class _Branch:
             array_col=self.column,
             elem_ok=lambda x, i: elem_ok(x),
         )
+
+    def each_nested(self, child: ElementSuite) -> "_Branch":
+        """``refuteEachWithProof`` (VCtx.fs:274-287): validate every array
+        element with a whole child suite. Failure paths are
+        ``field.[i].subfield`` (element apply_failures then list-scope
+        prefix, VCtx.fs:136-181) and ANY element failure refutes this
+        branch — later branch constraints are skipped — matching
+        ValidateEach's element-Refuted ⇒ list-Refuted fold. Within one
+        element, a child-branch refute skips that element's later checks in
+        the same sub-branch (the child CE's bind chain), compiled to
+        per-element mask expressions; the whole thing stays higher-order
+        functions in one projection — no explode, no shuffle, no UDFs."""
+        # constraint-count suffix keeps repeated each_nested calls on one
+        # field in distinct sub-branches
+        each_branch = f"{self._branch_key}$each{len(self.suite._constraints)}"
+        # per-(child sub-branch) cumulative element-level refute chains
+        chains: dict[Tuple[str, ...], Callable[[Column], Column]] = {}
+        for subpath, code, kind, ok_fn in child._specs:
+            prev = chains.get(subpath, lambda x: F.lit(False))
+
+            def wrapped(x, i, ok_fn=ok_fn, prev=prev):
+                # element skipped (NULL => no failure) once its sub-branch
+                # is refuted for this element
+                return F.when(prev(x), F.lit(None).cast("boolean")).otherwise(
+                    ok_fn(x)
+                )
+
+            self.suite._constraints.append(
+                Constraint(
+                    code=code,
+                    kind=EACH_DISPUTE,
+                    path=self._path,
+                    ok=None,
+                    branch=each_branch,
+                    guard=self._optional_guard,
+                    array_col=self.column,
+                    elem_ok=wrapped,
+                    elem_subpath=subpath,
+                    parent_branch=self._branch_key,
+                )
+            )
+            if kind == REFUTE:
+                chains[subpath] = lambda x, ok_fn=ok_fn, prev=prev: prev(x) | ~F.coalesce(
+                    ok_fn(x), F.lit(True)
+                )
+        self.suite._constraints.append(
+            Constraint(
+                code=f"{self._branch_key}$__each_gate",
+                kind=PROOF_GATE,
+                path=self._path,
+                ok=None,
+                branch=self._branch_key,
+                child_branches=[each_branch],
+                gate_on="any",
+            )
+        )
+        return self
 
     # -- optional --------------------------------------------------------------
     def optional(self) -> "_Branch":
@@ -427,6 +542,7 @@ class Suite:
                                 F.array(
                                     *[F.lit(p) for p in base],
                                     F.concat(F.lit("["), i.cast("string"), F.lit("]")),
+                                    *[F.lit(p) for p in c.elem_subpath],
                                 ).alias("path"),
                                 F.lit(c.code).alias("code"),
                                 F.lit(ord_).alias("ord"),

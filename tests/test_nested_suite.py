@@ -301,3 +301,104 @@ def test_nested_suite_single_projection_plan(spark):
     flagged = _parent_suite("apply").with_failures(df)
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# each_nested  ≅  refuteEachWithProof (VCtx.fs:274-287), kernel-pinned
+# --------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from fsharp_data_validation_spark.functions.compiler import ElementSuite  # noqa: E402
+
+TURN = StructType([StructField("role", StringType()), StructField("n", IntegerType())])
+EACH_SCHEMA = StructType(
+    [StructField("rid", IntegerType()), StructField("turns", T.ArrayType(TURN))]
+)
+
+
+def _each_suite() -> Suite:
+    child = (
+        ElementSuite("turn")
+        .field("role")
+        .required("roleRequired")
+        .isin("roleEnum", ROLES3)
+        .field("n")
+        .check("nPositive", lambda v: v > 0)
+        .done()
+    )
+    suite = (
+        Suite("each")
+        .field("turns")
+        .required("turnsRequired")
+        .each_nested(child)
+        .check("turnsNonEmpty", F.size(F.col("turns")) > 0)
+        .done()
+    )
+    return suite
+
+
+def _kernel_each(row: dict) -> set:
+    def child_proof(elem):
+        role = (
+            Validation.field("role", elem["role"])
+            .refute_with(L.is_required("roleRequired"))
+            .dispute_with_fact("roleEnum", lambda v: v in ROLES3)
+            .qed()
+        )
+        n = (
+            Validation.field("n", elem["n"])
+            .dispute_with_fact("nPositive", lambda v: v > 0)
+            .qed()
+        )
+        return merge_all([role, n]).proof()
+
+    parent = (
+        Validation.field("turns", row["turns"])
+        .refute_with(L.is_required("turnsRequired"))
+        .refute_each_with_proof(child_proof)
+        .dispute_with_fact("turnsNonEmpty", lambda _v: len(row["turns"]) > 0)
+        .qed()
+    )
+    return _kernel_proof_failures((parent,))
+
+
+def test_each_nested_matches_kernel(spark):
+    rows = [
+        {"rid": 0, "turns": None},
+        {"rid": 1, "turns": []},
+        {"rid": 2, "turns": [{"role": "user", "n": 1}]},
+        {"rid": 3, "turns": [{"role": None, "n": 1}]},
+        {"rid": 4, "turns": [{"role": "robot", "n": -1}, {"role": "user", "n": 2}]},
+        {"rid": 5, "turns": [{"role": None, "n": -1}]},
+        {"rid": 6, "turns": [{"role": "user", "n": 1}, {"role": "tool", "n": 0}]},
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(
+                rid=r["rid"],
+                turns=None
+                if r["turns"] is None
+                else [Row(**t) for t in r["turns"]],
+            )
+            for r in rows
+        ],
+        schema=EACH_SCHEMA,
+    )
+    res = _each_suite().run(df, ["rid"])
+    got = _collect_failures(res)
+    valid_ids = {r["rid"] for r in res.valid.select("rid").collect()}
+    for row in rows:
+        expected = _kernel_each(row)
+        actual = got.get(row["rid"], set())
+        assert actual == expected, f"row={row} spark={actual} kernel={expected}"
+        assert (row["rid"] in valid_ids) == (not expected)
+
+
+def test_each_nested_plan_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [Row(rid=1, turns=[Row(role="user", n=1)])], schema=EACH_SCHEMA
+    )
+    flagged = _each_suite().with_failures(df)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
