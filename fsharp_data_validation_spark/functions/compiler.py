@@ -215,6 +215,10 @@ class _Branch:
             F.when(cond, self.column.isNotNull()).otherwise(F.lit(True)),
         )
 
+    def required_unless(self, code: str, cond: Column) -> "_Branch":
+        """isRequiredUnless (Library.fs:35) = isRequiredWhen(not cond)."""
+        return self.required_when(code, ~F.coalesce(cond, F.lit(False)))
+
     # -- element constraints over array columns ------------------------------
     def each_check(
         self, code: str, elem_ok: Callable[[Column], Column]
@@ -242,20 +246,77 @@ class _Branch:
             elem_ok=lambda x, i: elem_ok(x),
         )
 
-    def each_nested(self, child: ElementSuite) -> "_Branch":
-        """``refuteEachWithProof`` (VCtx.fs:274-287): validate every array
-        element with a whole child suite. Failure paths are
-        ``field.[i].subfield`` (element apply_failures then list-scope
-        prefix, VCtx.fs:136-181) and ANY element failure refutes this
-        branch — later branch constraints are skipped — matching
-        ValidateEach's element-Refuted ⇒ list-Refuted fold. Within one
-        element, a child-branch refute skips that element's later checks in
-        the same sub-branch (the child CE's bind chain), compiled to
-        per-element mask expressions; the whole thing stays higher-order
-        functions in one projection — no explode, no shuffle, no UDFs."""
+    def each_check_indexed(
+        self, code: str, elem_ok: Callable[[Column, Column], Column]
+    ) -> "_Branch":
+        """Indexed overload of disputeAnyWithFact (VCtx.fs:416-422): the
+        validator also receives the element index column."""
+        return self._add(
+            code, EACH_DISPUTE, None, array_col=self.column, elem_ok=elem_ok
+        )
+
+    def each_refute_check_indexed(
+        self, code: str, elem_ok: Callable[[Column, Column], Column]
+    ) -> "_Branch":
+        """Indexed overload of refuteEachWith (VCtx.fs:242-248)."""
+        return self._add(
+            code, EACH_REFUTE, None, array_col=self.column, elem_ok=elem_ok
+        )
+
+    def each_all_check(
+        self, code: str, elem_ok: Callable[[Column], Column]
+    ) -> "_Branch":
+        """disputeAllWith(Fact) — *documented* semantics (VCtx.fs:364-366,
+        382-384; the reference implementation at 389-394 inverts the
+        condition — a bug with no covering test, see the kernel module
+        docstring): fail only when the array is non-empty and EVERY element
+        fails; the single distinct failure code lands in the *global* list,
+        un-prefixed, and validation continues."""
+        arr = self.column
+        all_fail = (F.size(arr) > 0) & F.forall(
+            arr, lambda x: ~F.coalesce(elem_ok(x), F.lit(True))
+        )
+        ok = ~F.coalesce(all_fail, F.lit(False))  # NULL array => no failure
+        self.suite._constraints.append(
+            Constraint(
+                code=code,
+                kind=DISPUTE,
+                path=(),  # global filing pinned by the kernel test
+                ok=ok,
+                branch=self._branch_key,
+                guard=self._optional_guard,
+            )
+        )
+        return self
+
+    def each_nested(self, child: ElementSuite, mode: str = "proof") -> "_Branch":
+        """Validate every array element with a whole child suite — the two
+        reference per-element composition shapes, selected by ``mode``:
+
+        - ``"proof"`` (default) ≅ ``refuteEachWithProof`` (VCtx.fs:274-287):
+          ANY element failure refutes this branch (an element's Invalid
+          proof becomes element-Refuted, and ValidateEach's fold makes the
+          list Refuted);
+        - ``"validate"`` ≅ ``validateEach`` (VCtx.fs:136-181): element
+          *disputes* accumulate while later branch constraints continue;
+          only an element **refute** (a refute-kind child constraint
+          firing) refutes this branch.
+
+        Failure paths are ``field.[i].subfield`` in both modes (element
+        apply_failures then list-scope prefix). Within one element, a
+        child-branch refute skips that element's later checks in the same
+        sub-branch (the child CE's bind chain), compiled to per-element
+        mask expressions; the whole thing stays higher-order functions in
+        one projection — no explode, no shuffle, no UDFs."""
+        if mode not in ("proof", "validate"):
+            raise ValueError(f"each_nested mode must be 'proof' or 'validate', got {mode!r}")
         # constraint-count suffix keeps repeated each_nested calls on one
-        # field in distinct sub-branches
-        each_branch = f"{self._branch_key}$each{len(self.suite._constraints)}"
+        # field in distinct sub-branches; refute-kind child specs land in
+        # their own sub-branch so the gate can target them alone
+        n0 = len(self.suite._constraints)
+        branch_d = f"{self._branch_key}$each{n0}"
+        branch_r = f"{self._branch_key}$each{n0}r"
+        used: List[str] = []
         # per-(child sub-branch) cumulative element-level refute chains
         chains: dict[Tuple[str, ...], Callable[[Column], Column]] = {}
         for subpath, code, kind, ok_fn in child._specs:
@@ -268,13 +329,16 @@ class _Branch:
                     ok_fn(x)
                 )
 
+            b = branch_r if kind == REFUTE else branch_d
+            if b not in used:
+                used.append(b)
             self.suite._constraints.append(
                 Constraint(
                     code=code,
                     kind=EACH_DISPUTE,
                     path=self._path,
                     ok=None,
-                    branch=each_branch,
+                    branch=b,
                     guard=self._optional_guard,
                     array_col=self.column,
                     elem_ok=wrapped,
@@ -286,6 +350,7 @@ class _Branch:
                 chains[subpath] = lambda x, ok_fn=ok_fn, prev=prev: prev(x) | ~F.coalesce(
                     ok_fn(x), F.lit(True)
                 )
+        gate_children = used if mode == "proof" else [b for b in used if b == branch_r]
         self.suite._constraints.append(
             Constraint(
                 code=f"{self._branch_key}$__each_gate",
@@ -293,7 +358,7 @@ class _Branch:
                 path=self._path,
                 ok=None,
                 branch=self._branch_key,
-                child_branches=[each_branch],
+                child_branches=gate_children,
                 gate_on="any",
             )
         )
@@ -476,7 +541,9 @@ class Suite:
                 n_elem = F.size(
                     F.filter(
                         c.array_col,
-                        lambda x: ~F.coalesce(c.elem_ok(x, F.lit(0)), F.lit(True)),
+                        # two-arg filter lambda: (element, index) — the
+                        # index must be real for indexed validators
+                        lambda x, i: ~F.coalesce(c.elem_ok(x, i), F.lit(True)),
                     )
                 )
                 applicable = c.array_col.isNotNull()

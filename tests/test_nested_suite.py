@@ -402,3 +402,132 @@ def test_each_nested_plan_no_shuffle(spark):
     flagged = _each_suite().with_failures(df)
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --------------------------------------------------------------------------
+# disputeAll / validateEach gating / indexed element checks / requiredUnless
+# --------------------------------------------------------------------------
+
+
+def test_each_all_check_matches_kernel(spark):
+    """disputeAllWithFact documented semantics: fires (globally, distinct
+    code, validation continues) only when EVERY element fails."""
+    schema = StructType(
+        [StructField("rid", IntegerType()), StructField("xs", T.ArrayType(IntegerType()))]
+    )
+    rows = [
+        {"rid": 0, "xs": [-1, -2]},  # all fail -> global failure
+        {"rid": 1, "xs": [-1, 2]},  # one passes -> nothing
+        {"rid": 2, "xs": []},  # empty -> nothing
+        {"rid": 3, "xs": None},  # NULL -> nothing
+        {"rid": 4, "xs": [3, 4]},  # all pass -> nothing
+    ]
+    df = spark.createDataFrame([Row(**r) for r in rows], schema=schema)
+    suite = (
+        Suite("allneg")
+        .field("xs")
+        .each_all_check("AllNeg", lambda x: x >= 0)
+        .check("xsShort", F.size(F.col("xs")) <= 10)  # continues after fire
+        .done()
+    )
+    got = _collect_failures(suite.run(df, ["rid"]))
+    for r in rows:
+        if r["xs"] is None:
+            expected = set()
+        else:
+            expected = _kernel_proof_failures(
+                (
+                    Validation.field("xs", r["xs"]).dispute_all_with_fact(
+                        "AllNeg", lambda a: a >= 0
+                    ),
+                )
+            )
+        assert got.get(r["rid"], set()) == expected, f"rid={r['rid']}"
+    # global filing: empty path string, and later branch check continued
+    assert got[0] == {("", "AllNeg")}
+
+
+def test_each_nested_validate_mode_matches_kernel(spark):
+    """mode='validate' ≅ validateEach: element disputes leave the branch
+    disputed (later checks continue); element refutes refute it."""
+    child = (
+        ElementSuite("turn")
+        .field("role")
+        .required("roleRequired")
+        .isin("roleEnum", ROLES3)
+        .done()
+    )
+    suite = (
+        Suite("validateEach")
+        .field("turns")
+        .required("turnsRequired")
+        .each_nested(child, mode="validate")
+        .check("turnsNonEmpty", F.size(F.col("turns")) > 0)
+        .done()
+    )
+    rows = [
+        {"rid": 0, "turns": []},  # dispute turnsNonEmpty only
+        {"rid": 1, "turns": [{"role": "robot", "n": 1}]},  # dispute -> continue
+        {"rid": 2, "turns": [{"role": None, "n": 1}]},  # refute -> gate
+        {"rid": 3, "turns": [{"role": "user", "n": 1}]},  # clean
+    ]
+    df = spark.createDataFrame(
+        [
+            Row(rid=r["rid"], turns=[Row(**t) for t in r["turns"]])
+            for r in rows
+        ],
+        schema=EACH_SCHEMA,
+    )
+    got = _collect_failures(suite.run(df, ["rid"]))
+
+    def kernel(row):
+        parent = (
+            Validation.field("turns", row["turns"])
+            .refute_with(L.is_required("turnsRequired"))
+            .validate_each(
+                lambda a: Validation.field("role", a["role"])
+                .refute_with(L.is_required("roleRequired"))
+                .dispute_with_fact("roleEnum", lambda v: v in ROLES3)
+            )
+            .dispute_with_fact("turnsNonEmpty", lambda _v: len(row["turns"]) > 0)
+            .qed()
+        )
+        return _kernel_proof_failures((parent,))
+
+    for row in rows:
+        assert got.get(row["rid"], set()) == kernel(row), f"row={row}"
+    # pin the distinguishing case explicitly: dispute did NOT gate
+    assert got[1] == {("turns.[0].role", "roleEnum")} | (
+        set() if rows[1]["turns"] else set()
+    )
+
+
+def test_indexed_element_checks_and_required_unless(spark):
+    schema = StructType(
+        [
+            StructField("rid", IntegerType()),
+            StructField("xs", T.ArrayType(IntegerType())),
+            StructField("tool", StringType()),
+            StructField("role", StringType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(rid=0, xs=[10, 11, 0], tool=None, role="user"),
+            Row(rid=1, xs=[5], tool=None, role="admin"),
+        ],
+        schema=schema,
+    )
+    suite = (
+        Suite("idx")
+        .field("xs")
+        # element must be >= its index * 10 -> fails for [2]=0 (needs 20)
+        .each_check_indexed("tooSmallForIndex", lambda x, i: x >= i * 10)
+        .field("tool")
+        # required unless role is a known enum member
+        .required_unless("toolRequiredForUnknownRole", F.col("role").isin(ROLES3))
+        .done()
+    )
+    got = _collect_failures(suite.run(df, ["rid"]))
+    assert got[0] == {("xs.[2]", "tooSmallForIndex")}
+    assert got[1] == {("tool", "toolRequiredForUnknownRole")}
