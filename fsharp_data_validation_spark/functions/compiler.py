@@ -632,6 +632,71 @@ class Suite:
         """df + ``failures`` column (array<struct<path,code,ord>>), one pass."""
         return df.select("*", self.failures_column().alias("failures"))
 
+    def report_json_column(self) -> Column:
+        """Per-row violation report in the reference's wire format
+        (``ValidationFailuresConverter.Write``, Proof.fs:28-45):
+        ``{"failures":["code",...],"fields":{"camelCase.dotted.path":
+        ["code",...],...}}`` — global (empty-path) failures in the list,
+        field failures grouped under their rendered path, field keys in
+        sorted order (F# Map iteration), codes in evaluation order.
+
+        Built entirely from the compiled failures array with higher-order
+        functions — interpreted expressions, but only ever evaluated on the
+        failing slice (report emission), so the hot path stays codegen'd.
+        Segment-sort note: keys sort by the dotted string; this matches the
+        reference's Name-list sort for all path alphabets without ``.``/
+        ``-`` inside a segment (codes here are identifier-like)."""
+
+        def path_str(p: Column) -> Column:
+            return F.array_join(
+                F.transform(
+                    p,
+                    lambda s: F.concat(
+                        F.lower(F.substring(s, 1, 1)), F.substring(s, 2, 2_000_000)
+                    ),
+                ),
+                ".",
+            )
+
+        f = self.failures_column()
+        gcodes = F.transform(
+            F.filter(f, lambda x: F.size(x["path"]) == 0), lambda x: x["code"]
+        )
+        globals_json = F.concat_ws(
+            ",", F.transform(gcodes, lambda c: F.concat(F.lit('"'), c, F.lit('"')))
+        )
+        fpaths = F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.filter(f, lambda x: F.size(x["path"]) > 0),
+                    lambda x: path_str(x["path"]),
+                )
+            )
+        )
+        field_entries = F.transform(
+            fpaths,
+            lambda p: F.concat(
+                F.lit('"'),
+                p,
+                F.lit('":['),
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.filter(f, lambda x: path_str(x["path"]) == p),
+                        lambda x: F.concat(F.lit('"'), x["code"], F.lit('"')),
+                    ),
+                ),
+                F.lit("]"),
+            ),
+        )
+        return F.concat(
+            F.lit('{"failures":['),
+            globals_json,
+            F.lit('],"fields":{'),
+            F.concat_ws(",", field_entries),
+            F.lit("}}"),
+        )
+
     def run(self, df: DataFrame, key_cols: Sequence[str]) -> "SuiteResult":
         """Split into (valid_df, violations_df) — the vectorized
         ``fromVCtx`` + MergeSources collapse (Library.fs:8-12, VCtx.fs:53-63):
@@ -677,6 +742,13 @@ class SuiteResult:
     valid: DataFrame
     violations: DataFrame
     suite: Suite
+
+    def reports(self, df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+        """(key..., report) for every failing row — the reference's JSON
+        violation document per row (see ``Suite.report_json_column``)."""
+        return df.filter(self.suite.any_failure_column()).select(
+            *key_cols, self.suite.report_json_column().alias("report")
+        )
 
     def verdict(self, partition_cols: Sequence[str], df: DataFrame) -> DataFrame:
         """Per-partition pass/fail + metrics (north rule): rows scanned,

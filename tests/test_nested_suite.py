@@ -531,3 +531,70 @@ def test_indexed_element_checks_and_required_unless(spark):
     got = _collect_failures(suite.run(df, ["rid"]))
     assert got[0] == {("xs.[2]", "tooSmallForIndex")}
     assert got[1] == {("tool", "toolRequiredForUnknownRole")}
+
+
+# --------------------------------------------------------------------------
+# JSON violation report: byte parity with the reference serializer
+# --------------------------------------------------------------------------
+
+from fsharp_data_validation_spark.core.serialize import render_failures_json  # noqa: E402
+
+
+def test_report_json_matches_reference_serializer(spark):
+    """Spark-side report_json_column must render byte-identically to the
+    kernel serializer (ValidationFailuresConverter.Write, Proof.fs:28-45)
+    for the same failures — global list + sorted camelCase-dotted fields."""
+    rows = value_matrix()
+    suite = _parent_suite("proof")
+    # add a global (type-level) rule so the "failures" list is exercised
+    suite.global_().check("rowConsistent", F.col("other") != -1)
+    res = suite.run(_rows_df(spark, rows), ["rid"])
+    got = {r["rid"]: r["report"] for r in res.reports(_rows_df(spark, rows), ["rid"]).collect()}
+
+    for row in rows:
+        def child_proof(m):
+            role = (
+                Validation.field("role", m["role"])
+                .refute_with(L.is_required("roleRequired"))
+                .dispute_with_fact("roleEnum", lambda v: v in ROLES3)
+                .qed()
+            )
+            tool = (
+                Validation.field("tool", m["tool"])
+                .optional(
+                    lambda v: Validation.value(v).dispute_with_fact(
+                        "toolFormat",
+                        lambda x: re.fullmatch("tool_[0-9]+", x) is not None,
+                    )
+                )
+                .qed()
+            )
+            return merge_all([role, tool]).proof()
+
+        parent = (
+            Validation.field("meta", row["meta"])
+            .refute_with(L.is_required("metaRequired"))
+            .refute_with_proof(child_proof)
+            .dispute_with_fact(
+                "toolPresent", lambda _v: row["meta"]["tool"] is not None
+            )
+            .qed()
+        )
+        other = (
+            Validation.field("other", row["other"])
+            .dispute_with_fact("otherPositive", lambda v: v > 0)
+            .qed()
+        )
+        glob = Validation.value(row).dispute_with_fact(
+            "rowConsistent", lambda r: r["other"] != -1
+        )
+        merged = merge_all([parent, other, glob]).proof()
+        if merged.valid:
+            assert row["rid"] not in got
+        else:
+            # drop the refuteWithProof empty-entry quirk (Map.add files an
+            # empty list under the parent key; no violation rows -> the
+            # engine's report omits the key)
+            lfs = {k: v for k, v in merged.fields.items() if v}
+            expected = render_failures_json(list(merged.failures), lfs)
+            assert got[row["rid"]] == expected, f"row={row}"
