@@ -207,6 +207,45 @@ class _Branch:
         tests/.../Tests/Library.fs:126-139)."""
         return self.check(code, F.length(self.column) > 0)
 
+    def is_empty(self, code: str) -> "_Branch":
+        """isNull = emptiness, NOT SQL NULL (Library.fs:53)."""
+        return self.check(code, F.length(self.column) == 0)
+
+    def is_equal(self, code: str, v) -> "_Branch":
+        """isEqual (Library.fs:73)."""
+        return self.check(code, self.column == F.lit(v))
+
+    def is_not_equal(self, code: str, v) -> "_Branch":
+        """isNotEqual (Library.fs:77)."""
+        return self.check(code, self.column != F.lit(v))
+
+    def less_than(self, code: str, v) -> "_Branch":
+        """isLessThan (Library.fs:81) — validated value is the 2nd arg of
+        the flipped reference comparator (tests/.../Library.fs:201-248):
+        the COLUMN must be < v."""
+        return self.check(code, self.column < F.lit(v))
+
+    def greater_than(self, code: str, v) -> "_Branch":
+        """isGreaterThan (Library.fs:85)."""
+        return self.check(code, self.column > F.lit(v))
+
+    def less_than_or_equal(self, code: str, v) -> "_Branch":
+        """isLessThanOrEqual (Library.fs:89)."""
+        return self.check(code, self.column <= F.lit(v))
+
+    def greater_than_or_equal(self, code: str, v) -> "_Branch":
+        """isGreaterThanOrEqual (Library.fs:93)."""
+        return self.check(code, self.column >= F.lit(v))
+
+    def has_elem(self, code: str, v) -> "_Branch":
+        """hasElem (Library.fs:97) — the validated ARRAY must contain v."""
+        return self.check(code, F.array_contains(self.column, v))
+
+    def does_not_have_elem(self, code: str, v) -> "_Branch":
+        """doesNotHaveElem (Library.fs:101); NULL array => check skipped
+        (the suite-wide NULL-tolerance convention)."""
+        return self.check(code, ~F.array_contains(self.column, v))
+
     def required_when(self, code: str, cond: Column) -> "_Branch":
         """isRequiredWhen (Library.fs:24-30) — disputing conditional presence."""
         return self._add(

@@ -74,14 +74,17 @@ class ValidationRun:
         key_cols: Sequence[str],
         partition_col: str,
         input_snapshot: Optional[str] = None,
+        emit_reports: bool = False,
     ):
         self.suite = suite
         self.out_dir = out_dir
+        self.emit_reports = emit_reports
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
         self.input_snapshot = input_snapshot
         self.manifest_dir = os.path.join(out_dir, "manifest")
         self.violations_dir = os.path.join(out_dir, "violations")
+        self.reports_dir = os.path.join(out_dir, "reports")
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.violations_dir, exist_ok=True)
 
@@ -173,6 +176,22 @@ class ValidationRun:
                 .partitionBy("part")
                 .parquet(self.violations_dir)
             )
+            if self.emit_reports:
+                # reference-wire-format JSON document per failing row
+                reps = (
+                    pdf.filter(self.suite.any_failure_column())
+                    .select(
+                        *self.key_cols,
+                        self.suite.report_json_column().alias("report"),
+                        pcol.alias("part"),
+                    )
+                )
+                (
+                    reps.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("part")
+                    .parquet(self.reports_dir)
+                )
             for part in batch:
                 r = stats.get(part)
                 outcome = PartitionOutcome(
@@ -181,7 +200,9 @@ class ValidationRun:
                     rows_scanned=r["n"] if r is not None else 0,
                     rows_with_violations=(r["rv"] or 0) if r is not None else 0,
                     violations=(r["v"] or 0) if r is not None else 0,
-                    constraints_evaluated=len(self.suite.constraints),
+                    constraints_evaluated=len(
+                        [c for c in self.suite.constraints if c.kind != "proof_gate"]
+                    ),
                 )
                 self._record(outcome, started)
                 outcomes.append(outcome)

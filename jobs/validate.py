@@ -49,6 +49,11 @@ def main(argv=None) -> int:
         help="input partitions validated per Spark job (resume granularity)",
     )
     ap.add_argument("--snapshot", default=None, help="input snapshot pin for lineage")
+    ap.add_argument(
+        "--emit-reports",
+        action="store_true",
+        help="also write per-row JSON violation reports (reference wire format)",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("validate_transcripts").getOrCreate()
@@ -69,6 +74,7 @@ def main(argv=None) -> int:
         key_cols=["conv_id", "turn_idx", "ts"],
         partition_col=args.partition_col,
         input_snapshot=args.snapshot,
+        emit_reports=args.emit_reports,
     )
     outcomes = run.run(
         df, max_partitions=args.max_partitions, batch_size=args.batch_size

@@ -598,3 +598,42 @@ def test_report_json_matches_reference_serializer(spark):
             lfs = {k: v for k, v in merged.fields.items() if v}
             expected = render_failures_json(list(merged.failures), lfs)
             assert got[row["rid"]] == expected, f"row={row}"
+
+
+def test_library_helper_sugar(spark):
+    """§2.5 helper parity sugar on _Branch — flipped-comparator convention
+    (tests/.../Library.fs:201-248) and emptiness-not-NULL (126-139)."""
+    schema = StructType(
+        [
+            StructField("rid", IntegerType()),
+            StructField("s", StringType()),
+            StructField("n", IntegerType()),
+            StructField("xs", T.ArrayType(StringType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(rid=0, s="", n=5, xs=["a", "b"]),
+            Row(rid=1, s="x", n=-1, xs=["bad"]),
+            Row(rid=2, s=None, n=None, xs=None),  # NULLs skip every check
+        ],
+        schema=schema,
+    )
+    suite = (
+        Suite("helpers")
+        .field("s")
+        .not_empty("sEmpty")
+        .is_not_equal("sReserved", "reserved")
+        .field("n")
+        .greater_than_or_equal("nNegative", 0)
+        .less_than("nTooBig", 100)
+        .is_equal("nNotFive", 5)
+        .field("xs")
+        .has_elem("xsMissingA", "a")
+        .does_not_have_elem("xsHasBad", "bad")
+        .done()
+    )
+    got = _collect_failures(suite.run(df, ["rid"]))
+    assert got.get(0) == {("s", "sEmpty")}
+    assert got.get(1) == {("n", "nNegative"), ("n", "nNotFive"), ("xs", "xsMissingA"), ("xs", "xsHasBad")}
+    assert 2 not in got  # NULL values skip (optional-style 3VL)

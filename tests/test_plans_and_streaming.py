@@ -239,3 +239,27 @@ def test_job_entry_main(spark, tmp_path):
     assert len(manifest) == 3
     doc = json.load(open(str(tmp_path / "job_out" / "manifest" / manifest[0])))
     assert doc["constraints_evaluated"] == 12
+
+
+def test_manifest_emit_reports(spark, tmp_path):
+    """--emit-reports: per-row reference-wire-format JSON documents written
+    alongside violations, partition-pruned and resume-consistent."""
+    import json as _json
+
+    out = str(tmp_path / "out_reports")
+    run = ValidationRun(
+        transcript_row_suite(),
+        out,
+        ["conv_id", "turn_idx"],
+        "part",
+        emit_reports=True,
+    )
+    run.run(_df(spark))
+    reps = spark.read.parquet(os.path.join(out, "reports")).collect()
+    by_key = {(r["conv_id"], r["turn_idx"]): _json.loads(r["report"]) for r in reps}
+    # c1/1: role_enum on field role
+    assert by_key[("c1", 1)] == {"failures": [], "fields": {"role": ["role_enum"]}}
+    # c2/0: text_required on field text
+    assert by_key[("c2", 0)]["fields"] == {"text": ["text_required"]}
+    # passing rows emit no report
+    assert ("c3", 0) not in by_key and ("c1", 0) not in by_key
