@@ -215,3 +215,36 @@ def test_verdict(spark):
     assert v["rows_with_violations"] == 1
     assert v["violations"] == 1
     assert not v["pass"]
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    """input_hint invariant: validation is pass-through — every valid row's
+    text is byte-equal to the input row at the same (conv_id, turn_idx, ts)
+    key under stable ordering, and valid/violation keys partition the
+    input. (The reference can transform values in qed; the row engine
+    never mutates them.)"""
+    from fsharp_data_validation_spark.sources.transcripts import derive_transcripts
+
+    key = ["conv_id", "turn_idx", "ts"]
+    t = derive_transcripts(spark, "/root/testdata/sf0.001")
+    res = transcript_row_suite().run(t, key)
+
+    valid_rows = res.valid.select(*key, "text").collect()
+    valid = {tuple(r[k] for k in key): r["text"] for r in valid_rows}
+    assert len(valid) == len(valid_rows)  # key is unique over valid rows
+    viol_keys = {tuple(r[k] for k in key) for r in res.violations.select(*key).collect()}
+
+    inp = t.orderBy(*key).select(*key, "text").collect()
+    assert len(inp) > 0
+    for r in inp:
+        k = tuple(r[k2] for k2 in key)
+        if k in valid:
+            assert valid[k] == r["text"], f"text mutated at {k}"
+            assert k not in viol_keys  # MergeSources collapse: disjoint
+        else:
+            assert k in viol_keys, f"row {k} lost by the split"
+
+    # stable ordering is reproducible across independent executions
+    seq1 = [r["text"] for r in res.valid.orderBy(*key).select(*key, "text").collect()]
+    seq2 = [r["text"] for r in res.valid.orderBy(*key).select(*key, "text").collect()]
+    assert seq1 == seq2
