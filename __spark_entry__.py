@@ -289,6 +289,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact dedup (keep lowest-id per content group)."""
+    from fsharp_data_validation_spark.operators.dedup import dedup_keep_first
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return dedup_keep_first(load_docs(spark, sf_dir), "doc_id", "text").select("doc_id")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components of the exact-Jaccard pair
+    graph via iterative min-label propagation (checked against a DuckDB
+    recursive-CTE transitive closure)."""
+    from fsharp_data_validation_spark.operators.dedup import near_dup_components
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return near_dup_components(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash train/test split (row-local, reproducible)."""
+    from fsharp_data_validation_spark.operators.sampling import hash_split
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return hash_split(load_docs(spark, sf_dir), "doc_id", 80).select("doc_id", "split")
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 16x2 banded LSH -> exact-Jaccard verify; checked
     against the exact-pairs oracle (high-recall banding)."""
@@ -509,6 +535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_apply": q_dedup_apply,
+        "dedup_components": q_dedup_components,
+        "sample_split": q_sample_split,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "token_count": q_token_count,
@@ -680,6 +709,46 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+from fsharp_data_validation_spark.sources.documents import DOCS_SQL as _DOCS_SQL
+
+# Connected components of the exact near-dup graph: DuckDB recursive CTE
+# transitive closure over the symmetric pair edges, min reachable id per
+# node. (WITH RECURSIVE must head the CTE list, so this oracle inlines the
+# docs CTE instead of using with_docs().)
+_COMPONENTS_ORACLE = (
+    "WITH RECURSIVE docs AS (" + _DOCS_SQL + ")"
+    + """
+, d AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+  WHERE len(w) >= 3
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS sim
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+  ) p WHERE sim >= 0.8
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY src
+"""
+)
+
+_SPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 100"
+)
 
 _STOPWORDS = "'the','a','and','of','to','in'"
 
@@ -884,6 +953,23 @@ def oracle_sql() -> dict[str, str]:
             ") g WHERE n_dups > 1"
         ),
         "ngram_jaccard": with_docs(_JACCARD_ORACLE),
+        "dedup_apply": with_docs(
+            """
+            SELECT doc_id FROM (
+              SELECT doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM docs
+            ) k WHERE rn = 1
+            """
+        ),
+        "dedup_components": _COMPONENTS_ORACLE,
+        "sample_split": with_docs(
+            f"""
+            SELECT doc_id,
+                   CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' ELSE 'test' END AS split
+            FROM docs
+            """
+        ),
         "minhash_lsh": with_docs(_JACCARD_ORACLE),
         "simhash": with_docs(_SIMHASH_ORACLE),
         "token_count": with_docs(

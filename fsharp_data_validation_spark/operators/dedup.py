@@ -336,3 +336,80 @@ def simhash_banded_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialized exact dedup: keep the lowest-id doc per content group
+    (all non-duplicates pass through). One window over the content digest;
+    digests are uniform so partitions are tiny (group size = duplicate
+    multiplicity) — no skew at any scale, one shuffle."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def near_dup_components(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph — the clustering
+    step of corpus dedup (pick one representative per near-dup cluster).
+    Pairs come from the exact prefix-filtered Jaccard join; labels converge
+    by min-label propagation: every node repeatedly takes the minimum of
+    its own and its neighbors' labels. Returns (id_col, component) for
+    every doc; singletons label themselves.
+
+    Scale notes: propagation runs O(cluster diameter) rounds — near-dup
+    clusters are shallow (dups of a common source), so a handful of rounds;
+    each round is one shuffle join edge⋈labels + an aggregation, with
+    ``localCheckpoint`` truncating the growing lineage (iterative plans
+    otherwise re-plan from the root each round). For adversarial
+    billion-edge graphs swap in alternating large-star/small-star rounds
+    (O(log n)); the driver loop stays identical."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold).select(
+        "id_a", "id_b"
+    )
+    sym = (
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("nw")
+            .join(labels.alias("od"), "node")
+            .filter(F.col("nw.label") != F.col("od.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -240,3 +240,39 @@ def test_rowlocal_signatures_equal_explode_formulation(spark):
     assert new == old
     for sig in new.values():
         assert len(set(sig)) > 1, "seeds collapsed: every min-hash identical"
+
+
+def test_near_dup_components_and_keep_first(spark):
+    from fsharp_data_validation_spark.operators.dedup import (
+        dedup_keep_first,
+        near_dup_components,
+    )
+
+    docs = _docs(spark)
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in near_dup_components(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    # docs 1,2 are exact dups, 3 a near dup of both, 6 a near dup of 1/2/3
+    # at the 0.5 threshold -> one cluster labeled by the smallest id
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == 4 and comp[5] == 5  # singletons label themselves
+    assert len(comp) == docs.count()
+
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_first(docs, "doc_id", "text").collect()
+    )
+    # only the exact-dup pair collapses (1 kept, 2 dropped)
+    assert kept == [1, 3, 4, 5, 6]
+
+
+def test_hash_split_deterministic(spark):
+    from fsharp_data_validation_spark.operators.sampling import hash_split
+
+    docs = _docs(spark)
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", 80).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", 80).collect()}
+    assert s1 == s2 and set(s1.values()) <= {"train", "test"}
+    # different salt -> decorrelated assignment is at least possible
+    s3 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", 80, salt="z").collect()}
+    assert len(s3) == len(s1)
