@@ -181,6 +181,20 @@ def q_ts_gap_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks(histogram(fa, "gap_s", 3600.0, 24), histogram(fb, "gap_s", 3600.0, 24))
 
 
+def q_psi_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition drift: PSI of each day's turn-length distribution vs
+    the whole-table baseline — the production shape of the north rule's
+    drift check (one scan, grid-complete closed form)."""
+    from fsharp_data_validation_spark.operators.drift import psi_by_group
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.to_date("ts").alias("part_date"), F.length("text").alias("text_len"))
+    )
+    return psi_by_group(t, "part_date", "text_len", 25.0, 20)
+
+
 def q_element_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element constraints over an array column with per-index provenance
     (disputeAnyWithFact, VCtx.fs:416-429): split text into words and flag
@@ -526,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
+        "psi_by_day": q_psi_by_day,
         "element_suite": q_element_suite,
         "nested_suite": q_nested_suite,
         "each_nested": q_each_nested,
@@ -877,6 +892,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT conv_id, turn_idx, ts, 'meta', 'toolOnToolRole'
               FROM transcripts WHERE role = 'tool' AND tool IS NULL
             ) v
+            """
+        ),
+        "psi_by_day": with_transcripts(
+            """
+            , per AS (
+              SELECT CAST(ts AS DATE) AS grp,
+                     LEAST(GREATEST(CAST(FLOOR(length(text) / 25.0) AS INT), 0), 19) AS bucket,
+                     COUNT(*) AS n
+              FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2
+            ), gbase AS (SELECT bucket, SUM(n) AS gn FROM per GROUP BY 1),
+            tg AS (SELECT grp, SUM(n) AS tg FROM per GROUP BY 1),
+            tot AS (SELECT SUM(n) AS t FROM per),
+            grid AS (SELECT tg.grp, tg.tg, gbase.bucket, gbase.gn FROM tg CROSS JOIN gbase),
+            j AS (
+              SELECT g.grp, g.tg, g.gn, COALESCE(per.n, 0) AS n
+              FROM grid g LEFT JOIN per ON per.grp = g.grp AND per.bucket = g.bucket
+            )
+            SELECT grp AS part_date, MIN(tg) AS n_rows,
+                   ROUND(SUM((GREATEST(n * 1.0 / tg, 0.000001) - GREATEST(gn * 1.0 / t, 0.000001))
+                             * LN(GREATEST(n * 1.0 / tg, 0.000001)
+                                  / GREATEST(gn * 1.0 / t, 0.000001))), 4) AS psi
+            FROM j CROSS JOIN tot GROUP BY grp
             """
         ),
         "each_nested": with_transcripts(

@@ -72,3 +72,53 @@ def ks(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
         .select(F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")).alias("d"))
         .agg(F.round(F.max("d"), round_to).alias("ks"))
     )
+
+
+def psi_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-partition drift: PSI of each group's value distribution against
+    the whole-table baseline, from ONE scan. Bucket counts aggregate per
+    (group, bucket); the global baseline is the sum of the same aggregate
+    (no second scan); PSI is computed over the full group x baseline-bucket
+    grid so buckets a group is *missing* still contribute (epsilon-clamped).
+    Returns (group, n_rows, psi).
+
+    Scale: the (group, bucket) aggregate is partial+final — its output is
+    |groups| x |buckets| rows (KBs at any input size); everything after is
+    arithmetic on that tiny relation, fully distributed, no per-row Python."""
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    glob = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
+    tot = per.agg(F.sum("n").alias("t"))
+    grid = tg.crossJoin(F.broadcast(glob))
+    j = (
+        grid.join(per, ["grp", "bucket"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.greatest(F.col("n") / F.col("tg"), F.lit(EPS))
+    q = F.greatest(F.col("gn") / F.col("t"), F.lit(EPS))
+    return (
+        j.select("grp", "tg", ((p - q) * F.log(p / q)).alias("term"))
+        .groupBy("grp")
+        .agg(
+            F.first("tg").alias("n_rows"),
+            F.round(F.sum("term"), round_to).alias("psi"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "psi")
+    )

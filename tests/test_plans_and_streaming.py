@@ -263,3 +263,59 @@ def test_manifest_emit_reports(spark, tmp_path):
     assert by_key[("c2", 0)]["fields"] == {"text": ["text_required"]}
     # passing rows emit no report
     assert ("c3", 0) not in by_key and ("c1", 0) not in by_key
+
+
+def test_py_files_packaging(tmp_path):
+    """The --py-files artifact must be importable standalone (no repo on
+    sys.path) and drive the job end-to-end via spark-submit from a foreign
+    cwd — the cluster submission story."""
+    import subprocess
+    import sys as _sys
+
+    zip_path = str(tmp_path / "pkg.zip")
+    subprocess.run(
+        [_sys.executable, "/root/repo/tools/package.py", zip_path],
+        check=True,
+        capture_output=True,
+    )
+    # import purely from the zip in a clean interpreter
+    probe = subprocess.run(
+        [
+            _sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, sys.argv[1]); "
+            "import fsharp_data_validation_spark.functions.compiler as c; "
+            "print(hasattr(c.Suite, 'nested'))",
+            zip_path,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env={"PATH": os.environ["PATH"]},
+    )
+    assert probe.returncode == 0 and probe.stdout.strip() == "True", probe.stderr
+    # spark-submit with --py-files from a foreign cwd
+    out_dir = str(tmp_path / "out")
+    run = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            zip_path,
+            "/root/repo/jobs/validate.py",
+            "--events-dir",
+            "/root/testdata/sf0.001",
+            "--output",
+            out_dir,
+            "--max-partitions",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        timeout=300,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert os.path.isdir(os.path.join(out_dir, "manifest"))
+    assert len(os.listdir(os.path.join(out_dir, "manifest"))) == 2
