@@ -329,6 +329,23 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_docs(spark, sf_dir), "doc_id", 80).select("doc_id", "split")
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics: docs, total tokens, vocabulary size
+    (exact distinct words). One explode + one aggregate; at 100 TB swap the
+    exact distinct for approx_count_distinct (same plan shape)."""
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    d = load_docs(spark, sf_dir)
+    w = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.length("w") > 0)
+    return w.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("w").alias("vocab_size"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 16x2 banded LSH -> exact-Jaccard verify; checked
     against the exact-pairs oracle (high-recall banding)."""
@@ -553,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "dedup_components": q_dedup_components,
         "sample_split": q_sample_split,
+        "vocab_stats": q_vocab_stats,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "token_count": q_token_count,
@@ -1005,6 +1023,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' ELSE 'test' END AS split
             FROM docs
+            """
+        ),
+        "vocab_stats": with_docs(
+            """
+            SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                   COUNT(*) AS total_tokens,
+                   COUNT(DISTINCT w) AS vocab_size
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) t
+            WHERE length(w) > 0
             """
         ),
         "minhash_lsh": with_docs(_JACCARD_ORACLE),

@@ -75,16 +75,19 @@ class ValidationRun:
         partition_col: str,
         input_snapshot: Optional[str] = None,
         emit_reports: bool = False,
+        emit_valid: bool = False,
     ):
         self.suite = suite
         self.out_dir = out_dir
         self.emit_reports = emit_reports
+        self.emit_valid = emit_valid
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
         self.input_snapshot = input_snapshot
         self.manifest_dir = os.path.join(out_dir, "manifest")
         self.violations_dir = os.path.join(out_dir, "violations")
         self.reports_dir = os.path.join(out_dir, "reports")
+        self.valid_dir = os.path.join(out_dir, "valid")
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.violations_dir, exist_ok=True)
 
@@ -176,6 +179,19 @@ class ValidationRun:
                 .partitionBy("part")
                 .parquet(self.violations_dir)
             )
+            if self.emit_valid:
+                # the pipeline-gate output (Giraffe-shape): only fully clean
+                # rows flow onward, partitioned like the input
+                valid = (
+                    pdf.filter(~self.suite.any_failure_column())
+                    .withColumn("part", pcol)
+                )
+                (
+                    valid.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("part")
+                    .parquet(self.valid_dir)
+                )
             if self.emit_reports:
                 # reference-wire-format JSON document per failing row
                 reps = (

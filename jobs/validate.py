@@ -54,6 +54,11 @@ def main(argv=None) -> int:
         action="store_true",
         help="also write per-row JSON violation reports (reference wire format)",
     )
+    ap.add_argument(
+        "--emit-valid",
+        action="store_true",
+        help="also write the validated (clean) rows, partitioned like the input",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("validate_transcripts").getOrCreate()
@@ -75,6 +80,7 @@ def main(argv=None) -> int:
         partition_col=args.partition_col,
         input_snapshot=args.snapshot,
         emit_reports=args.emit_reports,
+        emit_valid=args.emit_valid,
     )
     outcomes = run.run(
         df, max_partitions=args.max_partitions, batch_size=args.batch_size

@@ -319,3 +319,17 @@ def test_py_files_packaging(tmp_path):
     assert run.returncode == 0, run.stderr[-2000:]
     assert os.path.isdir(os.path.join(out_dir, "manifest"))
     assert len(os.listdir(os.path.join(out_dir, "manifest"))) == 2
+
+
+def test_manifest_emit_valid(spark, tmp_path):
+    """--emit-valid: the pipeline-gate output — only fully clean rows flow
+    onward, per-turn text byte-equal to the input."""
+    out = str(tmp_path / "out_valid")
+    run = ValidationRun(
+        transcript_row_suite(), out, ["conv_id", "turn_idx"], "part",
+        emit_valid=True,
+    )
+    run.run(_df(spark))
+    valid = spark.read.parquet(os.path.join(out, "valid"))
+    keys = {(r["conv_id"], r["turn_idx"]): r["text"] for r in valid.collect()}
+    assert keys == {("c1", 0): "hi", ("c3", 0): "ok"}  # failing rows gated
