@@ -437,6 +437,31 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(media)
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing round-trip: synthesize payloads, nearest-neighbor
+    downsample by 2 in Arrow-batched mapInPandas (header rewrite + byte
+    subsample), decode the RESIZED payloads back — oracle is the closed
+    form of the halved dims and ceil(body/2) byte count."""
+    from fsharp_data_validation_spark.operators.multimodal import (
+        decode_image_meta,
+        resize_images,
+    )
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    d = load_docs(spark, sf_dir)
+    width = (F.col("doc_id") % 32 + 64).cast("int")
+    height = (F.col("doc_id") % 24 + 48).cast("int")
+    channels = (F.col("doc_id") % 3 + 1).cast("int")
+    payload = F.concat(
+        F.unhex(F.lpad(F.hex(width), 4, "0")),
+        F.unhex(F.lpad(F.hex(height), 4, "0")),
+        F.unhex(F.lpad(F.hex(channels), 2, "0")),
+        F.encode(F.col("text"), "UTF-8"),
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return decode_image_meta(resize_images(media, 2))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for query vectors (vec_id % 100 == 0):
     broadcast queries x one scan of the vectors."""
@@ -578,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "media_meta": q_media_meta,
+        "media_resize": q_media_resize,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1091,6 +1117,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(doc_id % 24 + 48 AS INT) AS height, "
             "CAST(doc_id % 3 + 1 AS INT) AS channels, "
             "CAST(octet_length(encode(text)) + 5 AS BIGINT) AS n_bytes FROM docs"
+        ),
+        "media_resize": with_docs(
+            # halved header dims; body keeps every 2nd byte => ceil(len/2)
+            "SELECT doc_id AS media_id, "
+            "CAST((doc_id % 32 + 64) // 2 AS INT) AS width, "
+            "CAST((doc_id % 24 + 48) // 2 AS INT) AS height, "
+            "CAST(doc_id % 3 + 1 AS INT) AS channels, "
+            "CAST(CEIL(octet_length(encode(text)) / 2.0) + 5 AS BIGINT) AS n_bytes "
+            "FROM docs"
         ),
         "ann_ivf": with_vecs(
             f"""

@@ -134,6 +134,38 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
     return df.mapInPandas(go, schema=schema)
 
 
+def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Nearest-neighbor downsample by ``factor`` on the synthetic payload
+    format: header dims divide by ``factor``; the pixel-byte stream keeps
+    every ``factor``-th byte (numpy slice — vectorized, no copies beyond
+    the output). REAL plumbing (Arrow batches, binary out, header rewrite);
+    swap the body transform for a real resampler (PIL/libvips) in prod.
+    Returns (media_id, payload) with the resized payload."""
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                w, h, c = _parse_header(p)
+                if w is None:
+                    out.append(None)
+                    continue
+                body = np.frombuffer(p[5:], dtype=np.uint8)
+                nw, nh = w // factor, h // factor
+                header = (
+                    int(nw).to_bytes(2, "big")
+                    + int(nh).to_bytes(2, "big")
+                    + int(c).to_bytes(1, "big")
+                )
+                out.append(header + body[::factor].tobytes())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": out})
+
+    return df.mapInPandas(go, schema=schema)
+
+
 def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling — NOT IMPLEMENTED (no codec in this
     environment). The call shape and output schema are fixed so a real
