@@ -195,6 +195,19 @@ def q_psi_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_group(t, "part_date", "text_len", 25.0, 20)
 
 
+def q_ks_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition KS: each day's turn-length ECDF vs the whole-table
+    baseline (same one-scan grid shape as psi_by_day)."""
+    from fsharp_data_validation_spark.operators.drift import ks_by_group
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.to_date("ts").alias("part_date"), F.length("text").alias("text_len"))
+    )
+    return ks_by_group(t, "part_date", "text_len", 25.0, 20)
+
+
 def q_element_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element constraints over an array column with per-index provenance
     (disputeAnyWithFact, VCtx.fs:416-429): split text into words and flag
@@ -583,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
         "psi_by_day": q_psi_by_day,
+        "ks_by_day": q_ks_by_day,
         "element_suite": q_element_suite,
         "nested_suite": q_nested_suite,
         "each_nested": q_each_nested,
@@ -958,6 +972,33 @@ def oracle_sql() -> dict[str, str]:
                              * LN(GREATEST(n * 1.0 / tg, 0.000001)
                                   / GREATEST(gn * 1.0 / t, 0.000001))), 4) AS psi
             FROM j CROSS JOIN tot GROUP BY grp
+            """
+        ),
+        "ks_by_day": with_transcripts(
+            """
+            , per AS (
+              SELECT CAST(ts AS DATE) AS grp,
+                     LEAST(GREATEST(CAST(FLOOR(length(text) / 25.0) AS INT), 0), 19) AS bucket,
+                     COUNT(*) AS n
+              FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2
+            ), gbase AS (SELECT bucket, SUM(n) AS gn FROM per GROUP BY 1),
+            tg AS (SELECT grp, SUM(n) AS tg FROM per GROUP BY 1),
+            tot AS (SELECT SUM(n) AS t FROM per),
+            grid AS (SELECT tg.grp, tg.tg, gbase.bucket, gbase.gn FROM tg CROSS JOIN gbase),
+            j AS (
+              SELECT g.grp, g.tg, g.bucket, g.gn, COALESCE(per.n, 0) AS n
+              FROM grid g LEFT JOIN per ON per.grp = g.grp AND per.bucket = g.bucket
+            ), c AS (
+              SELECT grp, tg,
+                     SUM(n) OVER (PARTITION BY grp ORDER BY bucket
+                                  ROWS UNBOUNDED PRECEDING) AS cn,
+                     SUM(gn) OVER (PARTITION BY grp ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS cgn
+              FROM j
+            )
+            SELECT grp AS part_date, MIN(tg) AS n_rows,
+                   ROUND(MAX(ABS(cn * 1.0 / tg - cgn * 1.0 / (SELECT t FROM tot))), 4) AS ks
+            FROM c GROUP BY grp
             """
         ),
         "each_nested": with_transcripts(

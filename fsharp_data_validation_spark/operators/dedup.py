@@ -387,13 +387,17 @@ def near_dup_components(
         "label", F.col("node")
     )
     labels = labels.localCheckpoint()
+    # labels are monotonically non-increasing per node, so sum(label) is a
+    # strictly-decreasing convergence witness: unchanged sum <=> fixpoint.
+    # One aggregate per round instead of a join+count job.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
             .select(
                 labels["node"].alias("node"),
@@ -403,13 +407,8 @@ def near_dup_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("nw")
-            .join(labels.alias("od"), "node")
-            .filter(F.col("nw.label") != F.col("od.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

@@ -122,3 +122,51 @@ def psi_by_group(
         )
         .select(F.col("grp").alias(group_col), "n_rows", "psi")
     )
+
+
+def ks_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-partition KS: max |group ECDF - global ECDF| over bucket
+    boundaries, same one-scan shape as ``psi_by_group`` (the grid is
+    bucket-complete per group, so one window per group also accumulates the
+    global ECDF). Returns (group, n_rows, ks)."""
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    gbase = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
+    tot = per.agg(F.sum("n").alias("t"))
+    grid = tg.crossJoin(F.broadcast(gbase))
+    j = (
+        grid.join(per, ["grp", "bucket"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = F.abs(
+        F.sum("n").over(w) / F.col("tg") - F.sum("gn").over(w) / F.col("t")
+    )
+    return (
+        j.select("grp", "tg", d.alias("d"))
+        .groupBy("grp")
+        .agg(
+            F.first("tg").alias("n_rows"),
+            F.round(F.max("d"), round_to).alias("ks"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "ks")
+    )
