@@ -95,3 +95,25 @@ def load_transcripts(spark: SparkSession, table_or_path: str) -> DataFrame:
     if "/" in table_or_path or table_or_path.endswith(".parquet"):
         return spark.read.parquet(table_or_path)
     return spark.table(table_or_path)
+
+
+def write_bucketed(
+    df, table_name: str, bucket_cols, n_buckets: int = 32, sort_cols=None,
+    path: str | None = None,
+):
+    """Persist a DataFrame as a bucketed (+ optionally sorted) table —
+    the co-located-join layout for repeated joins/aggregations on the
+    bucket key. Two tables bucketed identically join with ZERO exchange
+    (both sides already hash-distributed on the key), and sorted buckets
+    make it a merge join with no sort stage. At 10^12-turn scale this is
+    the layout for conv_id-keyed cross-row checks (≅ Iceberg
+    ``bucket(N, conv_id)`` partition transform behind the same seam)."""
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    w = df.write.bucketBy(n_buckets, *cols)
+    if path is not None:
+        w = w.option("path", path)  # external table at an explicit location
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        w = w.sortBy(*scols)
+    w.mode("overwrite").format("parquet").saveAsTable(table_name)
+    return table_name
