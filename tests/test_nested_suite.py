@@ -637,3 +637,39 @@ def test_library_helper_sugar(spark):
     assert got.get(0) == {("s", "sEmpty")}
     assert got.get(1) == {("n", "nNegative"), ("n", "nNotFive"), ("xs", "xsMissingA"), ("xs", "xsHasBad")}
     assert 2 not in got  # NULL values skip (optional-style 3VL)
+
+
+def test_nested_suite_streaming_safe(spark, tmp_path):
+    """Nested-suite compilation is pure stateless expressions, so it runs
+    unchanged in Structured Streaming (violations with dotted provenance
+    from a file stream)."""
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        run_stream_to_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    _rows_df(
+        spark,
+        [
+            {"rid": 1, "meta": {"role": "robot", "tool": None}, "other": 1},
+            {"rid": 2, "meta": None, "other": 1},
+            {"rid": 3, "meta": {"role": "user", "tool": "tool_1"}, "other": 1},
+        ],
+    ).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    assert stream.isStreaming
+    q = run_stream_to_parquet(
+        stream,
+        _parent_suite("proof"),
+        ["rid"],
+        str(tmp_path / "viol"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["rid"], r["path"], r["code"])
+        for r in spark.read.parquet(str(tmp_path / "viol")).collect()
+    }
+    assert (1, "role", "roleEnum") in got  # proof mode: unprefixed child path
+    assert (2, "meta", "metaRequired") in got
+    assert not any(r for r in got if r[0] == 3)
