@@ -359,6 +359,26 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens (stopwords excluded, deterministic (n desc,
+    word asc) tie-break) — the vocabulary head a filtering pipeline
+    inspects. ORDER BY + LIMIT = Spark TakeOrdered (no full sort)."""
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    stop = ["the", "a", "and", "of", "to", "in"]
+    d = load_docs(spark, sf_dir)
+    w = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter((F.length("w") > 0) & ~F.col("w").isin(stop))
+    )
+    return (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(20)
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32) + 16x2 banded LSH -> exact-Jaccard verify; checked
     against the exact-pairs oracle (high-recall banding)."""
@@ -610,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "sample_split": q_sample_split,
         "vocab_stats": q_vocab_stats,
+        "top_words": q_top_words,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "token_count": q_token_count,
@@ -1099,6 +1120,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT w) AS vocab_size
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs) t
             WHERE length(w) > 0
+            """
+        ),
+        "top_words": with_docs(
+            f"""
+            SELECT w, COUNT(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM docs) t
+            WHERE length(w) > 0 AND w NOT IN ({_STOPWORDS})
+            GROUP BY w ORDER BY n DESC, w ASC LIMIT 20
             """
         ),
         "minhash_lsh": with_docs(_JACCARD_ORACLE),
