@@ -146,7 +146,7 @@ def _apply_chain_kernel(val, ops, prefix: str):
     return val
 
 
-def kernel_failures(spec: dict, row: dict) -> set:
+def kernel_branches(spec: dict, row: dict) -> list:
     branches = []
     for f, ops in spec["scalars"].items():
         branches.append(_apply_chain_kernel(Validation.field(f, row[f]), ops, f).qed())
@@ -188,8 +188,12 @@ def kernel_failures(spec: dict, row: dict) -> set:
             .qed()
         )
 
+    return branches
+
+
+def kernel_failures(spec: dict, row: dict) -> set:
     out = set()
-    for br in branches:
+    for br in kernel_branches(spec, row):
         p = br.proof()
         if not p.valid:
             for f in p.failures:
@@ -200,6 +204,19 @@ def kernel_failures(spec: dict, row: dict) -> set:
                         (".".join(s[0].lower() + s[1:] for s in path), f)
                     )
     return out
+
+
+def kernel_report(spec: dict, row: dict):
+    """Reference-serializer report for the merged branches (None if the
+    row is fully valid); drops refuteWithProof's empty-entry quirk, which
+    emits no violation rows engine-side."""
+    from fsharp_data_validation_spark.core.serialize import render_failures_json
+
+    merged = merge_all(kernel_branches(spec, row)).proof()
+    if merged.valid:
+        return None
+    lfs = {k: v for k, v in merged.fields.items() if v}
+    return render_failures_json(list(merged.failures), lfs)
 
 
 def test_random_suite_shapes_match_kernel(spark):
@@ -226,6 +243,9 @@ def test_random_suite_shapes_match_kernel(spark):
         for r in res.violations.collect():
             got.setdefault(r["rid"], set()).add((r["path_str"], r["code"]))
         valid_ids = {r["rid"] for r in res.valid.select("rid").collect()}
+        got_reports = {
+            r["rid"]: r["report"] for r in res.reports(df, ["rid"]).collect()
+        }
         for row in rows:
             expected = kernel_failures(spec, row)
             actual = got.get(row["rid"], set())
@@ -234,3 +254,9 @@ def test_random_suite_shapes_match_kernel(spark):
                 f"spark={sorted(actual)}\nkernel={sorted(expected)}"
             )
             assert (row["rid"] in valid_ids) == (not expected)
+            # byte-parity of the JSON report with the reference serializer
+            exp_report = kernel_report(spec, row)
+            assert got_reports.get(row["rid"]) == exp_report, (
+                f"trial={trial} rid={row['rid']}\n"
+                f"spark={got_reports.get(row['rid'])}\nkernel={exp_report}"
+            )
