@@ -181,6 +181,20 @@ def q_ts_gap_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks(histogram(fa, "gap_s", 3600.0, 24), histogram(fb, "gap_s", 3600.0, 24))
 
 
+def q_quantiles_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition profile: exact text-length percentiles per day (the
+    grouped variant of the quantile stats; percentile is a partial
+    aggregate, so this is one shuffle at any scale)."""
+    from fsharp_data_validation_spark.operators.stats import exact_quantiles_by_group
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.to_date("ts").alias("part_date"), F.length("text").alias("text_len"))
+    )
+    return exact_quantiles_by_group(t, "part_date", "text_len", [0.5, 0.95])
+
+
 def q_psi_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition drift: PSI of each day's turn-length distribution vs
     the whole-table baseline — the production shape of the north rule's
@@ -615,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
+        "quantiles_by_day": q_quantiles_by_day,
         "psi_by_day": q_psi_by_day,
         "ks_by_day": q_ks_by_day,
         "element_suite": q_element_suite,
@@ -971,6 +986,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT conv_id, turn_idx, ts, 'meta', 'toolOnToolRole'
               FROM transcripts WHERE role = 'tool' AND tool IS NULL
             ) v
+            """
+        ),
+        "quantiles_by_day": with_transcripts(
+            """
+            SELECT CAST(ts AS DATE) AS part_date,
+                   ROUND(quantile_cont(length(text), 0.5), 4) AS q50,
+                   ROUND(quantile_cont(length(text), 0.95), 4) AS q95
+            FROM transcripts WHERE text IS NOT NULL GROUP BY 1
             """
         ),
         "psi_by_day": with_transcripts(

@@ -182,3 +182,21 @@ def tdigest_quantiles(
             v = means[idx - 1] + frac * (means[idx] - means[idx - 1])
         out[f"q{int(q * 100)}"] = float(v)
     return out
+
+
+def exact_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    qs: Sequence[float],
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group exact percentiles — the per-partition profile variant of
+    ``exact_quantiles``. One hash aggregation (Spark's ``percentile`` is a
+    partial-aggregating ImperativeAggregate, so map-side combine applies);
+    at 100 TB swap for ``percentile_approx``/t-digest with the same shape."""
+    exprs = [
+        F.round(F.expr(f"percentile({col}, {q})"), round_to).alias(f"q{int(q * 100)}")
+        for q in qs
+    ]
+    return df.groupBy(group_col).agg(*exprs)
