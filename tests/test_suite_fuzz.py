@@ -260,3 +260,81 @@ def test_random_suite_shapes_match_kernel(spark):
                 f"trial={trial} rid={row['rid']}\n"
                 f"spark={got_reports.get(row['rid'])}\nkernel={exp_report}"
             )
+
+
+def test_random_apply_mode_shapes_match_kernel_optional(spark):
+    """Apply-mode nesting fuzz (single-branch children — the shape the
+    reference's optional() expresses directly): prefixed child paths,
+    dispute-continues, refute-gates, across random chains and data."""
+    rng = random.Random(777)
+    for trial in range(4):
+        ops = []
+        if rng.random() < 0.5:
+            ops.append(("required", None))
+        for _ in range(rng.randint(1, 3)):
+            ops.append((rng.choice(["ge", "lt", "refute_ge", "even"]), rng.randint(-3, 3)))
+        post_ge = rng.randint(-3, 3)
+        parent_required = rng.random() < 0.5
+
+        suite = Suite("applyFuzz")
+        pb = suite.field("s")
+        if parent_required:
+            pb = pb.required("s_required")
+        child = Suite("c")
+        _apply_chain_spark(child.field("x", F.col("s.x")), ops, "sx")
+        suite.nested("s", child, guard=F.col("s").isNotNull(), mode="apply")
+        suite.field("s").check("s_post", F.col("s.x") >= F.lit(post_ge))
+
+        rows = [gen_row(rng, i) for i in range(50)]
+        df = spark.createDataFrame(
+            [
+                Row(
+                    rid=r["rid"], a=r["a"], b=r["b"], c=r["c"],
+                    s=None if r["s"] is None else Row(**r["s"]),
+                    xs=r["xs"],
+                )
+                for r in rows
+            ],
+            schema=SCHEMA,
+        )
+        res = suite.run(df, ["rid"])
+        got = {}
+        for r in res.violations.collect():
+            got.setdefault(r["rid"], set()).add((r["path_str"], r["code"]))
+
+        for row in rows:
+            pv = Validation.field("s", row["s"])
+            if parent_required:
+                pv = pv.refute_with(L.is_required("s_required"))
+            pv = pv.optional(
+                lambda m: _apply_chain_kernel(
+                    Validation.field("x", m["x"]), ops, "sx"
+                )
+            )
+            # engine keeps parent scope for the post-gate check (the
+            # reference's optional() shifts scope via value chaining; the
+            # row model transforms no values) — emulate at parent scope:
+            post_fails = (
+                row["s"] is not None
+                and row["s"]["x"] is not None
+                and not (row["s"]["x"] >= post_ge)
+            )
+            p = pv.qed().proof()
+            expected = set()
+            if not p.valid:
+                for f in p.failures:
+                    expected.add(("", f))
+                for path, fs in p.fields.items():
+                    for f in fs:
+                        expected.add(
+                            (".".join(s[0].lower() + s[1:] for s in path), f)
+                        )
+            refuted = pv.ctx.state == "refuted"
+            if post_fails and not refuted:
+                expected = expected | {("s", "s_post")}
+            actual = got.get(row["rid"], set())
+            assert actual == expected, (
+                f"trial={trial} ops={ops} post_ge={post_ge} "
+                f"req={parent_required} row={row}\n"
+                f"spark={sorted(actual)}\nkernel={sorted(expected)}"
+            )
