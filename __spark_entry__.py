@@ -24,10 +24,18 @@ from fsharp_data_validation_spark.operators.crossrow import (
     referential_violations,
     uniqueness_violations,
 )
-from fsharp_data_validation_spark.operators.drift import histogram, ks, psi
+from fsharp_data_validation_spark.operators.drift import (
+    ks_joined,
+    psi_joined,
+    split_histograms,
+)
 from fsharp_data_validation_spark.operators.stats import column_profile, exact_quantiles
 from fsharp_data_validation_spark.operators.transcript_suite import transcript_row_suite
-from fsharp_data_validation_spark.sources.documents import with_docs, with_vecs
+from fsharp_data_validation_spark.sources.documents import (
+    lsh_construction_oracle_sql as _lsh_oracle,
+    with_docs,
+    with_vecs,
+)
 from fsharp_data_validation_spark.sources.transcripts import (
     ROLES,
     derive_transcripts,
@@ -123,32 +131,19 @@ def _epoch_s(c) -> "F.Column":
     return F.unix_seconds(F.col(c).cast("timestamp"))
 
 
-def _split_halves(t: DataFrame):
-    """Deterministic first/second half split by epoch midpoint (identical
-    arithmetic on the DuckDB side)."""
-    mid = t.agg(
-        F.round((F.min(_epoch_s("ts")) + F.max(_epoch_s("ts"))) / 2).alias("mid")
-    ).collect()[0]["mid"]
-    return t.filter(_epoch_s("ts") < mid), t.filter(_epoch_s("ts") >= mid)
-
-
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI on turn-length histograms, first half vs second half by event
-    time (epsilon-clamped closed form over bucketed proportions)."""
+    time (epsilon-clamped closed form over bucketed proportions). Both
+    halves come from ONE conditional aggregate (split_histograms); the
+    epoch midpoint is a broadcast scalar subplan, not a driver collect."""
     t = _transcripts(spark, sf_dir).select(F.length("text").alias("text_len"), "ts")
-    fa, fb = _split_halves(t)
-    a = histogram(fa, "text_len", 10.0, 20)
-    b = histogram(fb, "text_len", 10.0, 20)
-    return psi(a, b)
+    return psi_joined(split_histograms(t, "text_len", "ts", 10.0, 20))
 
 
 def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS statistic on the same split (max |ECDF diff| over buckets)."""
     t = _transcripts(spark, sf_dir).select(F.length("text").alias("text_len"), "ts")
-    fa, fb = _split_halves(t)
-    a = histogram(fa, "text_len", 10.0, 20)
-    b = histogram(fb, "text_len", 10.0, 20)
-    return ks(a, b)
+    return ks_joined(split_histograms(t, "text_len", "ts", 10.0, 20))
 
 
 def _ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,17 +163,16 @@ def _ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ts_gap_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift on ts-gap histograms (1h buckets), first vs second half."""
+    """PSI drift on ts-gap histograms (1h buckets), first vs second half —
+    same one-aggregate split shape as q_psi_drift."""
     g = _ts_gaps(spark, sf_dir)
-    fa, fb = _split_halves(g)
-    return psi(histogram(fa, "gap_s", 3600.0, 24), histogram(fb, "gap_s", 3600.0, 24))
+    return psi_joined(split_histograms(g, "gap_s", "ts", 3600.0, 24))
 
 
 def q_ts_gap_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS drift on the same ts-gap split."""
     g = _ts_gaps(spark, sf_dir)
-    fa, fb = _split_halves(g)
-    return ks(histogram(fa, "gap_s", 3600.0, 24), histogram(fb, "gap_s", 3600.0, 24))
+    return ks_joined(split_histograms(g, "gap_s", "ts", 3600.0, 24))
 
 
 def q_quantiles_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -546,11 +540,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path: sign-sketch buckets (Arrow pandas UDF) -> exact cosine
-    verify. Approximate by construction, but at 12 tables x 6 planes the
-    per-pair miss probability at sim>=0.9 is ~2e-3, and with the fixed
-    seeded hyperplanes the output deterministically equals the brute-force
-    pairs at the oracle scale — so it IS oracle-checked (the oracle is the
-    exact all-pairs cosine, same as embedding_near_dup)."""
+    verify. Approximate by construction: with 6 planes x 12 tables the
+    per-pair miss probability is (1-(1-acos(s)/pi)^6)^12 — ~3e-2 at the
+    query threshold s=0.8, ~2.4e-3 at s=0.9. The oracle therefore does NOT
+    assert full recall (that would only hold by luck of the pinned data);
+    it REPLAYS the identical construction in DuckDB — same seeded
+    hyperplanes as SQL literals, sign buckets, bucket join, exact verify —
+    so candidate generation and verification are checked exactly at any
+    scale/seed (see sources.documents.lsh_construction_oracle_sql)."""
     from fsharp_data_validation_spark.operators.similarity import lsh_near_dup_pairs
     from fsharp_data_validation_spark.sources.documents import load_vecs
 
@@ -1017,7 +1014,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT g.grp, g.tg, g.gn, COALESCE(per.n, 0) AS n
               FROM grid g LEFT JOIN per ON per.grp = g.grp AND per.bucket = g.bucket
             )
-            SELECT grp AS part_date, MIN(tg) AS n_rows,
+            SELECT grp AS part_date, CAST(MIN(tg) AS BIGINT) AS n_rows,
                    ROUND(SUM((GREATEST(n * 1.0 / tg, 0.000001) - GREATEST(gn * 1.0 / t, 0.000001))
                              * LN(GREATEST(n * 1.0 / tg, 0.000001)
                                   / GREATEST(gn * 1.0 / t, 0.000001))), 4) AS psi
@@ -1046,7 +1043,7 @@ def oracle_sql() -> dict[str, str]:
                                    ROWS UNBOUNDED PRECEDING) AS cgn
               FROM j
             )
-            SELECT grp AS part_date, MIN(tg) AS n_rows,
+            SELECT grp AS part_date, CAST(MIN(tg) AS BIGINT) AS n_rows,
                    ROUND(MAX(ABS(cn * 1.0 / tg - cgn * 1.0 / (SELECT t FROM tot))), 4) AS ks
             FROM c GROUP BY grp
             """
@@ -1249,18 +1246,11 @@ def oracle_sql() -> dict[str, str]:
             ) p WHERE sim >= 0.8
         """
         ),
-        # the sign-sketch path verifies candidates with the same exact
-        # cosine, and its 12x6 sketch reaches full recall at this scale —
-        # identical output to the brute-force pairs
-        "ann_lsh": with_vecs(
-            f"""
-            SELECT id_a, id_b, sim FROM (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                     ROUND({_COSINE_SQL.format(a='a.e', b='b.e')}, 6) AS sim
-              FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-            ) p WHERE sim >= 0.8
-        """
-        ),
+        # construction replay: the oracle rebuilds the SAME seeded
+        # hyperplane sketch (literals), sign buckets, bucket join and exact
+        # verify in DuckDB — robust to scale/seed, unlike asserting full
+        # recall of an approximate method (per-pair miss ~3% at sim=0.8)
+        "ann_lsh": _lsh_oracle(threshold=0.8, n_planes=6, n_tables=12, seed=7),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "ROUND(SUM(l_quantity), 2) AS sum_qty, "

@@ -63,7 +63,7 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
             timings[name] = round(best, 4)
         except Exception as ex:  # never lose the whole bench to one query
-            timings[name] = best if best is not None else -1.0
+            timings[name] = round(best, 4) if best is not None else -1.0
             print(f"[bench-error] {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
     # Flagship throughput: validated turns/sec through the full row suite.

@@ -37,6 +37,11 @@ def _escape(s: str) -> str:
     return "".join(out)
 
 
+# public alias: the Spark report compiler escapes compile-time literals
+# (codes, static path segments) with the exact kernel encoder
+escape_json = _escape
+
+
 def render_failures_json(gfs, lfs) -> str:
     """ValidationFailuresConverter.Write (Proof.fs:28-45)."""
     parts = ['{"failures":[']

@@ -40,7 +40,8 @@ from typing import Callable, List, Optional, Sequence, Tuple, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..core.names import render_path
+from ..core.names import render_path, to_camel_case
+from ..core.serialize import escape_json
 
 ColumnLike = Union[Column, str]
 
@@ -622,16 +623,30 @@ class Suite:
             out = out + n
         return out
 
-    def failures_column(self) -> Column:
-        """Compile the whole suite into ONE array<struct> expression."""
+    def failures_column(self, for_report: bool = False) -> Column:
+        """Compile the whole suite into ONE array<struct> expression.
+
+        With ``for_report`` the compile-time literals are pre-rendered for
+        the JSON wire format: static path segments camelCased
+        (``to_camel_case``, ≅ Proof.fs:21-25) then escaped with the kernel's
+        System.Text.Json-compatible encoder (``escape_json``), and codes
+        escaped likewise — so ``report_json_column`` can splice them into
+        JSON verbatim. Dynamic ``"[i]"`` segments are digits/brackets,
+        inherently camelCase-stable and JSON-safe. Default (data-facing)
+        output keeps raw segments/codes."""
+        if for_report:
+            seg = lambda p: escape_json(to_camel_case(p))  # noqa: E731
+            code_lit = escape_json
+        else:
+            seg = code_lit = lambda s: s  # noqa: E731
         contributions: List[Column] = []
         for ord_, c, fail, _n, prev_refuted in self._compiled():
             if c.kind in (REFUTE, DISPUTE):
                 entry = F.when(
                     fail,
                     F.struct(
-                        F.array(*[F.lit(p) for p in c.path]).alias("path"),
-                        F.lit(c.code).alias("code"),
+                        F.array(*[F.lit(seg(p)) for p in c.path]).alias("path"),
+                        F.lit(code_lit(c.code)).alias("code"),
                         F.lit(ord_).alias("ord"),
                     ),
                 )
@@ -639,18 +654,20 @@ class Suite:
             else:  # element constraints
                 base = c.path
 
-                def mk_entries(arr: Column, ord_=ord_, base=base, c=c) -> Column:
+                def mk_entries(
+                    arr: Column, ord_=ord_, base=base, c=c, seg=seg, code_lit=code_lit
+                ) -> Column:
                     return F.transform(
                         arr,
                         lambda x, i: F.when(
                             ~F.coalesce(c.elem_ok(x, i), F.lit(True)),
                             F.struct(
                                 F.array(
-                                    *[F.lit(p) for p in base],
+                                    *[F.lit(seg(p)) for p in base],
                                     F.concat(F.lit("["), i.cast("string"), F.lit("]")),
-                                    *[F.lit(p) for p in c.elem_subpath],
+                                    *[F.lit(seg(p)) for p in c.elem_subpath],
                                 ).alias("path"),
-                                F.lit(c.code).alias("code"),
+                                F.lit(code_lit(c.code)).alias("code"),
                                 F.lit(ord_).alias("ord"),
                             ),
                         ),
@@ -682,22 +699,20 @@ class Suite:
         Built entirely from the compiled failures array with higher-order
         functions — interpreted expressions, but only ever evaluated on the
         failing slice (report emission), so the hot path stays codegen'd.
-        Segment-sort note: keys sort by the dotted string; this matches the
-        reference's Name-list sort for all path alphabets without ``.``/
-        ``-`` inside a segment (codes here are identifier-like)."""
+        Escaping: codes and static path segments are compile-time literals,
+        pre-rendered (camelCase + kernel ``escape_json``) by
+        ``failures_column(for_report=True)`` — a quote/backslash/HTML-
+        sensitive/non-ASCII char in a code or field name serializes exactly
+        like the byte-pinned kernel serializer. Segment-sort note: keys sort
+        by the escaped dotted string; this matches the reference's
+        Name-list sort for all path alphabets without ``.``/``-``/escaped
+        chars inside a segment (codes here are identifier-like)."""
 
         def path_str(p: Column) -> Column:
-            return F.array_join(
-                F.transform(
-                    p,
-                    lambda s: F.concat(
-                        F.lower(F.substring(s, 1, 1)), F.substring(s, 2, 2_000_000)
-                    ),
-                ),
-                ".",
-            )
+            # segments arrive pre-camelCased + escaped (for_report)
+            return F.array_join(p, ".")
 
-        f = self.failures_column()
+        f = self.failures_column(for_report=True)
         gcodes = F.transform(
             F.filter(f, lambda x: F.size(x["path"]) == 0), lambda x: x["code"]
         )

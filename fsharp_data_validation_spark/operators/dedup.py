@@ -26,6 +26,7 @@ Scale design (the reason these shapes were chosen):
 
 from __future__ import annotations
 
+import warnings
 from typing import List, Tuple
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -391,6 +392,7 @@ def near_dup_components(
     # strictly-decreasing convergence witness: unchanged sum <=> fixpoint.
     # One aggregate per round instead of a join+count job.
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -409,6 +411,16 @@ def near_dup_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    sym.unpersist()
+    if not converged:
+        warnings.warn(
+            f"near_dup_components: min-label propagation did not reach a "
+            f"fixpoint within max_iter={max_iter} rounds; component labels "
+            f"may be unmerged for clusters of diameter > {max_iter}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))

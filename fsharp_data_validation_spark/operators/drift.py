@@ -43,34 +43,82 @@ def _joined_hist(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
     )
 
 
-def psi(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
-    """Population Stability Index between two histograms:
+def psi_joined(j: DataFrame, round_to: int = 4) -> DataFrame:
+    """PSI over a joined histogram (bucket, na, nb):
     sum((p - q) * ln(p / q)) with epsilon-clamped proportions.
-    Returns a single row (psi)."""
-    j = _joined_hist(hist_a, hist_b)
-    totals = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
-    p = F.greatest(F.col("na") / F.col("ta"), F.lit(EPS))
-    q = F.greatest(F.col("nb") / F.col("tb"), F.lit(EPS))
+    Returns a single row (psi).
+
+    Totals come from a whole-relation window over ``j`` (<= n_buckets rows)
+    rather than a separate aggregate + cross join — the latter re-plans
+    ``j``'s entire subtree, doubling the number of source scans."""
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = F.greatest(F.col("na") / F.sum("na").over(wall), F.lit(EPS))
+    q = F.greatest(F.col("nb") / F.sum("nb").over(wall), F.lit(EPS))
     return (
-        j.crossJoin(F.broadcast(totals))
-        .select(((p - q) * F.log(p / q)).alias("term"))
+        j.select(((p - q) * F.log(p / q)).alias("term"))
         .agg(F.round(F.sum("term"), round_to).alias("psi"))
     )
 
 
+def ks_joined(j: DataFrame, round_to: int = 4) -> DataFrame:
+    """KS over a joined histogram (bucket, na, nb): max |ECDF_a - ECDF_b|
+    over bucket boundaries. (Exact for the bucketed distributions; bucket
+    width bounds the error vs the continuous statistic.)
+    Returns a single row (ks). Totals via whole-relation window — see
+    ``psi_joined`` for why not a separate aggregate."""
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = F.abs(
+        F.sum("na").over(wcum) / F.sum("na").over(wall)
+        - F.sum("nb").over(wcum) / F.sum("nb").over(wall)
+    )
+    return j.select(d.alias("d")).agg(F.round(F.max("d"), round_to).alias("ks"))
+
+
+def psi(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
+    """Population Stability Index between two separate histograms."""
+    return psi_joined(_joined_hist(hist_a, hist_b), round_to)
+
+
 def ks(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
-    """Kolmogorov-Smirnov statistic from bucketed ECDFs:
-    max |cum_a/total_a - cum_b/total_b| over bucket boundaries.
-    (Exact for the bucketed distributions; bucket width bounds the error vs
-    the continuous statistic.) Returns a single row (ks)."""
-    j = _joined_hist(hist_a, hist_b)
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    totals = j.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    """Kolmogorov-Smirnov statistic between two separate histograms."""
+    return ks_joined(_joined_hist(hist_a, hist_b), round_to)
+
+
+def split_histograms(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """First-half/second-half histograms by epoch midpoint in ONE
+    conditional aggregate over the data: returns (bucket, na, nb) where
+    ``na``/``nb`` count value-buckets with ts before/after the midpoint
+    ``round((min_epoch + max_epoch) / 2)``.
+
+    Scale shape: the midpoint is a scalar aggregate subplan cross-joined in
+    as a broadcast (no driver round-trip), and the data itself is scanned
+    once for the split histogram — vs the naive min/max pass + two filtered
+    half scans (three scans). The scalar pass reads only ``ts`` (column
+    pruning), so total I/O is ~one scan of (value, ts). Rows with NULL ts
+    fall in neither half; rows with NULL value are dropped — identical to
+    histogram-after-filter semantics (and to the DuckDB oracle arithmetic)."""
+    e = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    mid_df = df.agg(F.round((F.min(e) + F.max(e)) / 2).alias("_mid"))
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
     return (
-        j.select("bucket", F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb"))
-        .crossJoin(F.broadcast(totals))
-        .select(F.abs(F.col("ca") / F.col("ta") - F.col("cb") / F.col("tb")).alias("d"))
-        .agg(F.round(F.max("d"), round_to).alias("ks"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(b.alias("bucket"), e.alias("_e"))
+        .crossJoin(F.broadcast(mid_df))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_e") < F.col("_mid"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("_e") >= F.col("_mid"), 1).otherwise(0)).alias("nb"),
+        )
     )
 
 

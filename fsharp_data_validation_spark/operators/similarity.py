@@ -324,7 +324,12 @@ def lsh_near_dup_pairs(
 ) -> DataFrame:
     """Scale path: multi-table sign-sketch bucket join -> exact cosine
     verify on the (deduplicated) candidates only. Recall < 1 by
-    construction (report as approximate)."""
+    construction (report as approximate): a pair at similarity s collides
+    in one table with p = (1 - acos(s)/pi)^n_planes and misses ALL tables
+    with (1-p)^n_tables — e.g. 6 planes x 12 tables gives ~3% miss at
+    s=0.8, ~2.4e-3 at s=0.9; size (n_planes, n_tables) for the target
+    recall/candidate-volume tradeoff (fewer planes = higher recall but
+    coarser, fuller buckets)."""
     b = lsh_buckets(vectors, id_col, vec_col, dim, n_planes, n_tables)
     cand = (
         b.alias("a")

@@ -31,7 +31,7 @@ from typing import List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.compiler import Suite
+from ..functions.compiler import PROOF_GATE, Suite
 
 
 def _atomic_write(path: str, payload: dict) -> None:
@@ -217,7 +217,7 @@ class ValidationRun:
                     rows_with_violations=(r["rv"] or 0) if r is not None else 0,
                     violations=(r["v"] or 0) if r is not None else 0,
                     constraints_evaluated=len(
-                        [c for c in self.suite.constraints if c.kind != "proof_gate"]
+                        [c for c in self.suite.constraints if c.kind != PROOF_GATE]
                     ),
                 )
                 self._record(outcome, started)

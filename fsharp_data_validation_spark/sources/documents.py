@@ -76,3 +76,55 @@ def load_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def with_vecs(sql: str) -> str:
     """Wrap an oracle query in the DuckDB ``vecs`` CTE."""
     return f"WITH vecs AS ({VECS_ORACLE_SQL})\n" + sql
+
+
+def lsh_construction_oracle_sql(
+    threshold: float = 0.8,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    seed: int = 7,
+    round_to: int = 6,
+) -> str:
+    """DuckDB replay of ``lsh_near_dup_pairs``' FULL construction: the same
+    seeded Gaussian hyperplanes (inlined as double literals), sign buckets
+    ``sum((dot > 0) << j)`` per table, (table, bucket) candidate self-join,
+    exact-cosine verify. Checking the construction — not just the final
+    pairs — makes the oracle scale/seed-robust: an approximate method's
+    recall is data-dependent (per-pair miss at sim=0.8 with 6 planes x 12
+    tables is ~3%), but two independent implementations of the same sketch
+    must agree exactly (sign flips need |dot| ~ 1e-13, vanishing for
+    Gaussian planes)."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_tables * n_planes, dim))
+    rows = []
+    for r in range(n_tables * n_planes):
+        t, j = divmod(r, n_planes)
+        vec = "[" + ",".join(repr(float(x)) for x in planes[r]) + "]::DOUBLE[]"
+        rows.append(f"({t},{j},{vec})")
+    planes_sql = ",\n".join(rows)
+    cosine = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+        "* sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""WITH vecs AS ({VECS_ORACLE_SQL}),
+planes(t, j, p) AS (VALUES {planes_sql}),
+bk AS (
+  SELECT v.vec_id, pl.t,
+         SUM(CASE WHEN list_dot_product(v.e, pl.p) > 0
+                  THEN 1 << pl.j ELSE 0 END) AS bucket
+  FROM vecs v CROSS JOIN planes pl GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT c.id_a, c.id_b,
+         ROUND({cosine.format(a="va.e", b="vb.e")}, {round_to}) AS sim
+  FROM cand c
+  JOIN vecs va ON va.vec_id = c.id_a
+  JOIN vecs vb ON vb.vec_id = c.id_b
+) p WHERE sim >= {threshold}"""

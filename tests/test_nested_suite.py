@@ -600,6 +600,41 @@ def test_report_json_matches_reference_serializer(spark):
             assert got[row["rid"]] == expected, f"row={row}"
 
 
+def test_report_json_escapes_hostile_codes_and_names(spark):
+    """Codes / field names containing quotes, backslashes, HTML-sensitive
+    chars or non-ASCII must serialize byte-identically to the kernel's
+    System.Text.Json-compatible encoder (core/serialize.py _escape) and
+    stay parseable JSON. Pins the for_report literal pre-escaping in
+    failures_column (ADVICE r01)."""
+    import json
+
+    hostile_field = 'Qu"ote\\Fi<eld>'
+    hostile_code = "co\"de&é+`'"
+    hostile_global = "glo<bal>\\π"
+
+    schema = StructType(
+        [StructField("rid", IntegerType()), StructField("s", StringType())]
+    )
+    df = spark.createDataFrame([Row(rid=1, s="x")], schema=schema)
+
+    suite = Suite()
+    suite.field(hostile_field, F.col("s")).check(hostile_code, F.lit(False))
+    suite.global_().check(hostile_global, F.lit(False))
+    got = {
+        r["rid"]: r["report"]
+        for r in suite.run(df, ["rid"]).reports(df, ["rid"]).collect()
+    }
+
+    expected = render_failures_json(
+        [hostile_global], {(hostile_field,): [hostile_code]}
+    )
+    assert got[1] == expected
+    parsed = json.loads(got[1])
+    assert parsed["failures"] == [hostile_global]
+    camel = hostile_field[0].lower() + hostile_field[1:]
+    assert parsed["fields"] == {camel: [hostile_code]}
+
+
 def test_library_helper_sugar(spark):
     """§2.5 helper parity sugar on _Branch — flipped-comparator convention
     (tests/.../Library.fs:201-248) and emptiness-not-NULL (126-139)."""

@@ -106,3 +106,22 @@ def test_ann_topk_broadcasts_queries(spark, sf):
 
     plan = _plan(e.q_ann_topk(spark, sf))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_drift_split_scans_data_once_plus_scalar_mid(spark, sf):
+    """The half-split drift queries must build BOTH half-histograms in one
+    conditional aggregate: exactly TWO scans of the events source in the
+    plan — the data scan and the scalar midpoint aggregate (which reads
+    only ts) — instead of the old min/max + two filtered half scans
+    (three). The midpoint must enter via broadcast, not a driver collect
+    (no collect() happens at plan-build time by construction)."""
+    import __spark_entry__ as e
+
+    import re
+
+    for q in (e.q_psi_drift, e.q_ks_drift):
+        plan = _plan(q(spark, sf))
+        # one "(N) Scan parquet" detail entry per physical scan node
+        n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+        assert n_scans == 2, f"expected 2 scans (data + scalar mid), got {n_scans}"
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

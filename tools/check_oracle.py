@@ -37,6 +37,35 @@ def rows_key(rows, cols):
     return sorted(tuple(norm(r[i]) for i in order) for r in rows)
 
 
+_DUCK2CANON = {
+    "TINYINT": "i8", "SMALLINT": "i16", "INTEGER": "i32", "BIGINT": "i64",
+    "HUGEINT": "i128", "FLOAT": "f32", "DOUBLE": "f64", "VARCHAR": "str",
+    "DATE": "date", "TIMESTAMP": "ts", "BOOLEAN": "bool",
+}
+_SPARK2CANON = {
+    "tinyint": "i8", "smallint": "i16", "int": "i32", "bigint": "i64",
+    "float": "f32", "double": "f64", "string": "str",
+    "date": "date", "timestamp": "ts", "timestamp_ntz": "ts", "boolean": "bool",
+}
+
+
+def type_mismatches(sdf, rel):
+    """The driver's value hash is serialization-type-sensitive (round 1:
+    DuckDB HUGEINT vs Spark BIGINT broke psi_by_day/ks_by_day despite equal
+    values). Return (hard, soft) mismatch lists: hard = DuckDB HUGEINT (no
+    Spark counterpart, always hash-breaking); soft = differing int widths."""
+    stypes = {c.lower(): _SPARK2CANON.get(t, t) for c, t in sdf.dtypes}
+    hard, soft = [], []
+    for c, t in zip(rel.columns, rel.types):
+        d = _DUCK2CANON.get(str(t).upper(), str(t).upper())
+        s = stypes.get(c.lower())
+        if d == "i128":
+            hard.append(f"{c}: duck=HUGEINT spark={s} (un-CAST SUM/aggregate?)")
+        elif s is not None and d != s and {d, s} <= {"i8", "i16", "i32", "i64"}:
+            soft.append(f"{c}: duck={d} spark={s}")
+    return hard, soft
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -80,6 +109,13 @@ def main():
             print(f"[FAIL-cols ] {name}: spark={scols_l} duck={ocols}")
             failures += 1
             continue
+        hard, soft = type_mismatches(sdf, rel)
+        if hard:
+            print(f"[FAIL-type ] {name}: {hard}")
+            failures += 1
+            continue
+        for w in soft:
+            print(f"[WARN-type ] {name}: {w}")
         if len(srows) != len(orows):
             print(f"[FAIL-count] {name}: spark={len(srows)} duck={len(orows)}")
             failures += 1
