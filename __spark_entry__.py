@@ -125,6 +125,47 @@ def q_text_len_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(t, "text_len", [0.25, 0.5, 0.75, 0.95])
 
 
+def q_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully distributed t-digest quantiles of turn length (applyInPandas
+    partial digests + two-level tree merge INSIDE Spark — the driver never
+    sees a digest), then a distributed rank-error verification: for each
+    estimated quantile value v_q the true-rank interval
+    [count(<v_q)/n, count(<=v_q)/n] must intersect [q - eps, q + eps]
+    (eps=0.02, conservative vs the t-digest k1 bound ~ q(1-q)/delta at
+    delta=200). Output: n_vals (exact non-null count, ties the result to
+    the table) + one bound-holds boolean per quantile. The oracle pins
+    n_vals from the same table and the booleans to TRUE — i.e. the oracle
+    checks the published accuracy bound, not value equality (the estimate
+    is approximate by construction)."""
+    from fsharp_data_validation_spark.operators.stats import tdigest_quantiles
+
+    qs = [0.25, 0.5, 0.75, 0.95]
+    eps = 0.02
+    t = (
+        _transcripts(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(F.length("text").cast("double").alias("text_len"))
+    )
+    td = tdigest_quantiles(t, "text_len", qs, round_to=6)
+    aggs = [F.count(F.lit(1)).alias("n_vals")]
+    for q in qs:
+        k = f"q{int(q * 100)}"
+        aggs.append(
+            F.sum((F.col("text_len") < F.col(k)).cast("long")).alias(f"_lt_{k}")
+        )
+        aggs.append(
+            F.sum((F.col("text_len") <= F.col(k)).cast("long")).alias(f"_le_{k}")
+        )
+    wide = t.crossJoin(F.broadcast(td)).agg(*aggs)
+    sel = [F.col("n_vals")]
+    for q in qs:
+        k = f"q{int(q * 100)}"
+        lo = F.col(f"_lt_{k}") / F.col("n_vals")
+        hi = F.col(f"_le_{k}") / F.col("n_vals")
+        sel.append(((lo <= F.lit(q + eps)) & (hi >= F.lit(q - eps))).alias(f"{k}_ok"))
+    return wide.select(*sel)
+
+
 def _epoch_s(c) -> "F.Column":
     """Whole-second epoch for Timestamp/TimestampNTZ (UTC session tz);
     matches DuckDB ``CAST(FLOOR(epoch(ts)) AS BIGINT)``."""
@@ -301,6 +342,32 @@ def q_each_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         .done()
     )
     suite = Suite("convTurns").field("turns").each_nested(child).done()
+    res = suite.run(conv, ["conv_id"])
+    return res.violations.select("conv_id", F.col("path_str").alias("path"), "code")
+
+
+def q_each_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-element nested validation where the child validators see the
+    ELEMENT INDEX (reference indexed overloads VCtx.fs:242-248,331-344 via
+    refuteEachWithProof): 'the first turn must be role=system' and
+    'turn_idx must be >= its position in the conversation' — positional
+    rules inexpressible without the index. Same one-shuffle collect +
+    single-projection higher-order-function shape as each_nested."""
+    from fsharp_data_validation_spark.functions.compiler import ElementSuite, Suite
+
+    t = _transcripts(spark, sf_dir)
+    conv = t.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "role"))).alias("turns")
+    )
+    child = (
+        ElementSuite("turn")
+        .field("role")
+        .check_indexed("firstMustBeSystem", lambda v, i: (i > 0) | (v == "system"))
+        .field("turn_idx")
+        .refute_check_indexed("turnIdxMatchesPosition", lambda v, i: v >= i)
+        .done()
+    )
+    suite = Suite("convIdx").field("turns").each_nested(child).done()
     res = suite.run(conv, ["conv_id"])
     return res.violations.select("conv_id", F.col("path_str").alias("path"), "code")
 
@@ -628,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ordering": q_ordering,
         "column_profile": q_column_profile,
         "text_len_quantiles": q_text_len_quantiles,
+        "tdigest": q_tdigest,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "ts_gap_psi": q_ts_gap_psi,
@@ -638,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "element_suite": q_element_suite,
         "nested_suite": q_nested_suite,
         "each_nested": q_each_nested,
+        "each_indexed": q_each_indexed,
         "conv_stats": q_conv_stats,
         "minmax": q_minmax,
         "q1_pricing": q_q1_pricing,
@@ -926,6 +995,15 @@ def oracle_sql() -> dict[str, str]:
             )
             + " FROM transcripts WHERE text IS NOT NULL"
         ),
+        # t-digest is approximate by construction, so the oracle pins the
+        # PUBLISHED ACCURACY BOUND rather than value equality: n_vals must
+        # equal the table's exact non-null count and every rank-error
+        # boolean (computed distributed on the Spark side) must be TRUE.
+        "tdigest": with_transcripts(
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_vals,"
+            " TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q95_ok"
+            " FROM transcripts WHERE text IS NOT NULL"
+        ),
         "psi_drift": with_transcripts(
             f"""
             , m AS ({_MID_SQL})
@@ -1074,6 +1152,29 @@ def oracle_sql() -> dict[str, str]:
                      'turns.[' || CAST(rn - 1 AS VARCHAR) || '].turn_idx',
                      'turnIdxNonNegative'
               FROM ranked WHERE turn_idx IS NOT NULL AND turn_idx < 0
+            ) v
+            """
+        ),
+        "each_indexed": with_transcripts(
+            """
+            , ranked AS (
+              SELECT conv_id, role, turn_idx,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY conv_id
+                       ORDER BY turn_idx ASC NULLS FIRST, role ASC NULLS FIRST
+                     ) AS rn
+              FROM transcripts
+            )
+            SELECT conv_id, path, code FROM (
+              SELECT conv_id, 'turns.[0].role' AS path,
+                     'firstMustBeSystem' AS code
+              FROM ranked
+              WHERE rn = 1 AND role IS NOT NULL AND role <> 'system'
+              UNION ALL
+              SELECT conv_id,
+                     'turns.[' || CAST(rn - 1 AS VARCHAR) || '].turn_idx',
+                     'turnIdxMatchesPosition'
+              FROM ranked WHERE turn_idx IS NOT NULL AND turn_idx < rn - 1
             ) v
             """
         ),

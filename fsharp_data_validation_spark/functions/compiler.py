@@ -90,7 +90,10 @@ class ElementSuite:
 
     def __init__(self, name: str = "each"):
         self.name = name
-        # (subpath, code, kind, ok_fn: elem Column -> bool Column)
+        # (subpath, code, kind, ok_fn: (elem Column, index Column) -> bool
+        # Column) — stored uniformly 2-arg; the non-indexed builder methods
+        # ignore the index, the *_indexed ones (reference indexed overloads,
+        # VCtx.fs:242-248,331-344) pass it through
         self._specs: List[Tuple[Tuple[str, ...], str, str, Callable]] = []
 
     def field(self, name: str) -> "_ElementBranch":
@@ -111,13 +114,29 @@ class _ElementBranch:
         return self
 
     def required(self, code: str) -> "_ElementBranch":
-        return self._add(code, REFUTE, lambda x: self.get(x).isNotNull())
+        return self._add(code, REFUTE, lambda x, i: self.get(x).isNotNull())
 
     def refute_check(self, code: str, fn: Callable[[Column], Column]) -> "_ElementBranch":
-        return self._add(code, REFUTE, lambda x: fn(self.get(x)))
+        return self._add(code, REFUTE, lambda x, i: fn(self.get(x)))
 
     def check(self, code: str, fn: Callable[[Column], Column]) -> "_ElementBranch":
-        return self._add(code, DISPUTE, lambda x: fn(self.get(x)))
+        return self._add(code, DISPUTE, lambda x, i: fn(self.get(x)))
+
+    def check_indexed(
+        self, code: str, fn: Callable[[Column, Column], Column]
+    ) -> "_ElementBranch":
+        """Indexed per-element dispute inside a nested element suite — the
+        reference's indexed validator overloads (VCtx.fs:331-344) reachable
+        from ``refuteEachWithProof``/``validateEach`` children: the
+        validator sees (sub-field value, element index)."""
+        return self._add(code, DISPUTE, lambda x, i: fn(self.get(x), i))
+
+    def refute_check_indexed(
+        self, code: str, fn: Callable[[Column, Column], Column]
+    ) -> "_ElementBranch":
+        """Indexed per-element refute (VCtx.fs:242-248): a failure skips
+        this element's later checks in the same sub-branch."""
+        return self._add(code, REFUTE, lambda x, i: fn(self.get(x), i))
 
     def rlike(self, code: str, pattern: str) -> "_ElementBranch":
         return self.check(code, lambda v: v.rlike(pattern))
@@ -329,6 +348,56 @@ class _Branch:
         )
         return self
 
+    def each_all_check_many(
+        self, checks: Sequence[Tuple[str, Callable[[Column], Column]]]
+    ) -> "_Branch":
+        """disputeAllWithMany — multi-failure form, *documented* semantics
+        (VCtx.fs:382-384; implementation at 389-394 has the inverted-logic
+        bug, see each_all_check): the per-element validator is the fixed
+        code list ``[code for (code, ok) in checks if element fails ok]``;
+        the constraint fires only when the array is non-empty and EVERY
+        element fails at least one check, and then files each code that
+        fired for at least one element — the distinct-union of the
+        per-element failure lists — into the global list, un-prefixed
+        (kernel parity: core/vctx.py dispute_all_with_many). Ordering note:
+        codes are filed in declared ``checks`` order, whereas the kernel
+        orders by first appearance across elements; violation SETS are
+        identical (pinned by the kernel-equivalence test).
+
+        Scale: still pure higher-order expressions over the array column in
+        the same single projection — one forall + one exists per code."""
+        arr = self.column
+
+        # closure factories, NOT default args: pyspark binds HOF lambdas by
+        # ARITY, so an extra defaulted parameter turns a unary lambda into
+        # a (element, index) one
+        def _mk_elem_fails(cks):
+            def elem_fails(x):
+                f = F.lit(False)
+                for _code, ok_fn in cks:
+                    f = f | ~F.coalesce(ok_fn(x), F.lit(True))
+                return f
+
+            return elem_fails
+
+        def _mk_fails_one(ok_fn):
+            return lambda x: ~F.coalesce(ok_fn(x), F.lit(True))
+
+        all_fail = (F.size(arr) > 0) & F.forall(arr, _mk_elem_fails(checks))
+        for code, ok_fn in checks:
+            fires = all_fail & F.exists(arr, _mk_fails_one(ok_fn))
+            self.suite._constraints.append(
+                Constraint(
+                    code=code,
+                    kind=DISPUTE,
+                    path=(),  # global filing, as each_all_check
+                    ok=~F.coalesce(fires, F.lit(False)),
+                    branch=self._branch_key,
+                    guard=self._optional_guard,
+                )
+            )
+        return self
+
     def each_nested(self, child: ElementSuite, mode: str = "proof") -> "_Branch":
         """Validate every array element with a whole child suite — the two
         reference per-element composition shapes, selected by ``mode``:
@@ -360,13 +429,13 @@ class _Branch:
         # per-(child sub-branch) cumulative element-level refute chains
         chains: dict[Tuple[str, ...], Callable[[Column], Column]] = {}
         for subpath, code, kind, ok_fn in child._specs:
-            prev = chains.get(subpath, lambda x: F.lit(False))
+            prev = chains.get(subpath, lambda x, i: F.lit(False))
 
             def wrapped(x, i, ok_fn=ok_fn, prev=prev):
                 # element skipped (NULL => no failure) once its sub-branch
                 # is refuted for this element
-                return F.when(prev(x), F.lit(None).cast("boolean")).otherwise(
-                    ok_fn(x)
+                return F.when(prev(x, i), F.lit(None).cast("boolean")).otherwise(
+                    ok_fn(x, i)
                 )
 
             b = branch_r if kind == REFUTE else branch_d
@@ -387,9 +456,9 @@ class _Branch:
                 )
             )
             if kind == REFUTE:
-                chains[subpath] = lambda x, ok_fn=ok_fn, prev=prev: prev(x) | ~F.coalesce(
-                    ok_fn(x), F.lit(True)
-                )
+                chains[subpath] = lambda x, i, ok_fn=ok_fn, prev=prev: prev(
+                    x, i
+                ) | ~F.coalesce(ok_fn(x, i), F.lit(True))
         gate_children = used if mode == "proof" else [b for b in used if b == branch_r]
         self.suite._constraints.append(
             Constraint(

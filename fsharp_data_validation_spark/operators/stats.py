@@ -132,56 +132,108 @@ def _compress(means, weights, delta: int):
     return np.asarray(out_m), np.asarray(out_w)
 
 
-def tdigest_quantiles(
-    df: DataFrame, col: str, qs: Sequence[float], delta: int = 200
-) -> Dict[str, float]:
-    """Distributed t-digest: per-partition digests via applyInPandas (Arrow
-    batches; numpy-vectorized, no per-row Python), tiny driver-side merge.
-    Returns {"q50": ..., ...}. Deterministic for a fixed partitioning."""
+def _digest_quantile(means, weights, q: float) -> float:
+    """Interpolated quantile from a compressed digest (midpoint rule)."""
     import numpy as np
 
-    schema = StructType(
+    cum = weights.cumsum() - weights / 2.0
+    total = weights.sum()
+    target = q * total
+    idx = int(np.searchsorted(cum, target))
+    if idx <= 0:
+        return float(means[0])
+    if idx >= len(means):
+        return float(means[-1])
+    lo, hi = cum[idx - 1], cum[idx]
+    frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
+    return float(means[idx - 1] + frac * (means[idx] - means[idx - 1]))
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    col: str,
+    qs: Sequence[float],
+    delta: int = 200,
+    fanout: int = 32,
+    round_to: int = 4,
+) -> DataFrame:
+    """Fully distributed t-digest quantiles: per-partition digests via
+    applyInPandas (Arrow batches; numpy-vectorized, no per-row Python), then
+    a TWO-LEVEL TREE MERGE inside Spark — level 1 merges partition digests
+    into ``fanout`` groups, level 2 merges those into the final digest and
+    evaluates the quantiles. Returns a ONE-ROW DataFrame (q50, q95, ...)
+    like the sibling quantile operators; the driver never materializes
+    digests and the final task merges <= fanout of them, so the merge cost
+    is independent of partition count (vs the old driver-side collect()).
+
+    Deterministic for a fixed partitioning: every merge kernel sorts its
+    inputs by group key before concatenating, so Arrow batch arrival order
+    cannot change the result."""
+    import numpy as np
+
+    digest_schema = StructType(
         [
+            StructField("gid", StringType()),
             StructField("means", ArrayType(DoubleType())),
             StructField("weights", ArrayType(DoubleType())),
         ]
     )
 
     def per_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = str(int(pdf["_pid"].iloc[0]) % fanout)
         vals = pdf[col].dropna().to_numpy(dtype=float)
         if len(vals) == 0:
-            return pd.DataFrame({"means": [[]], "weights": [[]]})
+            return pd.DataFrame({"gid": [gid], "means": [[]], "weights": [[]]})
         m, w = _compress(vals, np.ones_like(vals), delta)
-        return pd.DataFrame({"means": [m.tolist()], "weights": [w.tolist()]})
+        return pd.DataFrame(
+            {"gid": [gid], "means": [m.tolist()], "weights": [w.tolist()]}
+        )
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("gid", kind="stable")  # deterministic order
+        means = np.concatenate([np.asarray(x, dtype=float) for x in pdf["means"]])
+        weights = np.concatenate(
+            [np.asarray(x, dtype=float) for x in pdf["weights"]]
+        )
+        gid = str(pdf["gid"].iloc[0])
+        if len(means) == 0:
+            return pd.DataFrame({"gid": [gid], "means": [[]], "weights": [[]]})
+        m, w = _compress(means, weights, delta)
+        return pd.DataFrame(
+            {"gid": [gid], "means": [m.tolist()], "weights": [w.tolist()]}
+        )
+
+    qcols = [f"q{int(q * 100)}" for q in qs]
+    final_schema = StructType([StructField(c, DoubleType()) for c in qcols])
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("gid", kind="stable")
+        means = np.concatenate([np.asarray(x, dtype=float) for x in pdf["means"]])
+        weights = np.concatenate(
+            [np.asarray(x, dtype=float) for x in pdf["weights"]]
+        )
+        if len(means) == 0:
+            return pd.DataFrame({c: [float("nan")] for c in qcols})
+        m, w = _compress(means, weights, delta)
+        return pd.DataFrame(
+            {
+                c: [round(_digest_quantile(m, w, q), round_to)]
+                for c, q in zip(qcols, qs)
+            }
+        )
 
     part = (
         df.select(F.col(col))
         .withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
-        .applyInPandas(lambda pdf: per_partition(pdf), schema=schema)
-        .collect()
+        .applyInPandas(per_partition, schema=digest_schema)
     )
-    means = np.concatenate([np.asarray(r["means"], dtype=float) for r in part]) if part else np.array([])
-    weights = np.concatenate([np.asarray(r["weights"], dtype=float) for r in part]) if part else np.array([])
-    if len(means) == 0:
-        return {f"q{int(q * 100)}": float("nan") for q in qs}
-    means, weights = _compress(means, weights, delta)
-    cum = weights.cumsum() - weights / 2.0
-    total = weights.sum()
-    out = {}
-    for q in qs:
-        target = q * total
-        idx = int(np.searchsorted(cum, target))
-        if idx <= 0:
-            v = means[0]
-        elif idx >= len(means):
-            v = means[-1]
-        else:
-            lo, hi = cum[idx - 1], cum[idx]
-            frac = 0.0 if hi == lo else (target - lo) / (hi - lo)
-            v = means[idx - 1] + frac * (means[idx] - means[idx - 1])
-        out[f"q{int(q * 100)}"] = float(v)
-    return out
+    level1 = part.groupBy("gid").applyInPandas(merge_group, schema=digest_schema)
+    return (
+        level1.withColumn("_z", F.lit(0))
+        .groupBy("_z")
+        .applyInPandas(finalize, schema=final_schema)
+    )
 
 
 def exact_quantiles_by_group(

@@ -447,6 +447,121 @@ def test_each_all_check_matches_kernel(spark):
     assert got[0] == {("", "AllNeg")}
 
 
+def test_each_all_check_many_matches_kernel(spark):
+    """disputeAllWithMany multi-failure form, documented semantics: fires
+    only when EVERY element fails at least one check; files the distinct
+    union of per-element failure codes globally; validation continues.
+    Pinned against the kernel's dispute_all_with_many (core/vctx.py)."""
+    schema = StructType(
+        [StructField("rid", IntegerType()), StructField("xs", T.ArrayType(IntegerType()))]
+    )
+    rows = [
+        {"rid": 0, "xs": [-1, 200]},  # all fail (different codes) -> both codes
+        {"rid": 1, "xs": [-1, -2]},  # all fail NegOrZero only -> one code
+        {"rid": 2, "xs": [-1, 5]},  # 5 passes both -> nothing
+        {"rid": 3, "xs": []},  # empty -> nothing
+        {"rid": 4, "xs": None},  # NULL -> nothing (suite NULL-tolerance)
+        {"rid": 5, "xs": [200]},  # all fail TooBig -> one code
+    ]
+    df = spark.createDataFrame([Row(**r) for r in rows], schema=schema)
+    checks = [
+        ("NegOrZero", lambda x: x > 0),
+        ("TooBig", lambda x: x < 100),
+    ]
+    suite = (
+        Suite("allmany")
+        .field("xs")
+        .each_all_check_many(checks)
+        .check("xsShort", F.size(F.col("xs")) <= 10)  # continues after fire
+        .done()
+    )
+    got = _collect_failures(suite.run(df, ["rid"]))
+    py_checks = [("NegOrZero", lambda x: x > 0), ("TooBig", lambda x: x < 100)]
+    for r in rows:
+        if r["xs"] is None:
+            expected = set()
+        else:
+            expected = _kernel_proof_failures(
+                (
+                    Validation.field("xs", r["xs"]).dispute_all_with_many(
+                        lambda a: [c for c, p in py_checks if not p(a)]
+                    ),
+                )
+            )
+        assert got.get(r["rid"], set()) == expected, f"rid={r['rid']}"
+    assert got[0] == {("", "NegOrZero"), ("", "TooBig")}
+    assert got[1] == {("", "NegOrZero")}
+    assert got[5] == {("", "TooBig")}
+
+
+def test_each_nested_indexed_matches_kernel(spark):
+    """Indexed validators INSIDE an ElementSuite (reference indexed
+    overloads VCtx.fs:242-248,331-344 reachable from refuteEachWithProof):
+    the per-element child validation sees the element index — e.g. 'first
+    turn must be role=system' — and an indexed refute gates that element's
+    later checks in the same sub-branch. Kernel-pinned via the indexed
+    refute_each_with_proof overload."""
+    rows = [
+        {"rid": 0, "turns": [{"role": "system", "n": 5}, {"role": "user", "n": 5}]},
+        {"rid": 1, "turns": [{"role": "user", "n": 5}]},  # firstMustBeSystem
+        {"rid": 2, "turns": [{"role": "system", "n": 5}, {"role": "system", "n": 5}]},
+        # n < index refutes the n sub-branch for that element: nPositive
+        # must be SKIPPED for element [1] (n=0 < 1 also fails nGeIndex)
+        {"rid": 3, "turns": [{"role": "system", "n": 5}, {"role": "user", "n": 0}]},
+        {"rid": 4, "turns": [{"role": None, "n": 5}]},  # refute gates indexed check
+    ]
+    child = (
+        ElementSuite("turn")
+        .field("role")
+        .required("roleRequired")
+        .check_indexed("firstMustBeSystem", lambda v, i: (i > 0) | (v == "system"))
+        .field("n")
+        .refute_check_indexed("nGeIndex", lambda v, i: v >= i)
+        .check("nPositive", lambda v: v > 0)
+        .done()
+    )
+    suite = Suite("eachidx").field("turns").each_nested(child).done()
+    df = spark.createDataFrame(
+        [
+            Row(rid=r["rid"], turns=[Row(**t) for t in r["turns"]])
+            for r in rows
+        ],
+        schema=EACH_SCHEMA,
+    )
+    got = _collect_failures(suite.run(df, ["rid"]))
+
+    def child_proof(i, elem):
+        role = (
+            Validation.field("role", elem["role"])
+            .refute_with(L.is_required("roleRequired"))
+            .dispute_with_fact(
+                "firstMustBeSystem", lambda v: i > 0 or v == "system"
+            )
+            .qed()
+        )
+        n = (
+            Validation.field("n", elem["n"])
+            .refute_with(lambda v: (True, v) if v >= i else (False, "nGeIndex"))
+            .dispute_with_fact("nPositive", lambda v: v > 0)
+            .qed()
+        )
+        return merge_all([role, n]).proof()
+
+    for row in rows:
+        parent = (
+            Validation.field("turns", row["turns"])
+            .refute_each_with_proof(child_proof)
+            .qed()
+        )
+        expected = _kernel_proof_failures((parent,))
+        actual = got.get(row["rid"], set())
+        assert actual == expected, f"row={row} spark={actual} kernel={expected}"
+    # the headline shapes, spelled out
+    assert got[1] == {("turns.[0].role", "firstMustBeSystem")}
+    assert got[3] == {("turns.[1].n", "nGeIndex")}  # nPositive gated
+    assert got[4] == {("turns.[0].role", "roleRequired")}  # indexed check gated
+
+
 def test_each_nested_validate_mode_matches_kernel(spark):
     """mode='validate' ≅ validateEach: element disputes leave the branch
     disputed (later checks continue); element refutes refute it."""

@@ -168,8 +168,10 @@ def test_salted_uniqueness_equivalent(spark):
 
 
 def test_tdigest_matches_exact_quantiles(spark):
-    """Distributed t-digest (applyInPandas, driver merge) tracks the exact
-    interpolated percentiles within digest accuracy on a skewed column."""
+    """Fully distributed t-digest (applyInPandas partials + two-level tree
+    merge INSIDE Spark — no driver collect) returns a one-row DataFrame and
+    tracks the exact interpolated percentiles within digest accuracy on a
+    skewed column. Also deterministic across reruns."""
     from fsharp_data_validation_spark.operators.stats import (
         exact_quantiles,
         tdigest_quantiles,
@@ -178,11 +180,16 @@ def test_tdigest_matches_exact_quantiles(spark):
     df = spark.range(0, 20000, 1, 8).selectExpr("cast(id * id as double) AS v")
     qs = [0.25, 0.5, 0.75, 0.95]
     exact = exact_quantiles(df, "v", qs).collect()[0].asDict()
-    approx = tdigest_quantiles(df, "v", qs)
+    out = tdigest_quantiles(df, "v", qs, round_to=6)
+    assert out.columns == [f"q{int(q * 100)}" for q in qs]
+    approx = out.collect()[0].asDict()
     for q in qs:
         key = f"q{int(q * 100)}"
         rel = abs(approx[key] - exact[key]) / max(exact[key], 1.0)
         assert rel < 0.02, (key, approx[key], exact[key])
+    # determinism: merge order is pinned by the gid sort inside each kernel
+    again = tdigest_quantiles(df, "v", qs, round_to=6).collect()[0].asDict()
+    assert again == approx
 
 
 def test_synth_transcripts_deterministic(spark):
