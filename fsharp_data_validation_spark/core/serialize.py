@@ -30,6 +30,11 @@ def _escape(s: str) -> str:
             out.append("\\\\")
         elif o < 0x20:
             out.append(json.dumps(ch)[1:-1])
+        elif o > 0xFFFF:
+            # System.Text.Json renders astral chars as a UTF-16 surrogate
+            # pair (\udXXX\udXXX), not a single out-of-range \uXXXXX
+            hi, lo = divmod(o - 0x10000, 0x400)
+            out.append(f"\\u{0xD800 + hi:04x}\\u{0xDC00 + lo:04x}")
         elif ch in _HTML_SENSITIVE or o > 0x7E:
             out.append(f"\\u{o:04x}")
         else:
@@ -56,11 +61,44 @@ def render_failures_json(gfs, lfs) -> str:
     return "".join(parts)
 
 
+def dumps_stj(value: Any) -> str:
+    """Compact JSON of a plain value, escaped like ``JsonSerializer.
+    Serialize`` with default options (the HTML-safe encoder) — the encoder
+    the reference's Valid branch goes through (Proof.fs:74-76; golden
+    ``{"MyName":"John Smith","MyInt":42}`` at Tests/Proof.fs:92-101).
+    Dict keys keep insertion order (F# record fields serialize in
+    declaration order, NOT camelCased — unlike failure paths). Floats render
+    via Python ``repr`` (matches .NET shortest-round-trip for values whose
+    decimal expansion is shared; documented divergence otherwise); other
+    unknown types via ``str()`` then string-escaped."""
+    if value is None:
+        return "null"
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
+    if isinstance(value, str):
+        return f'"{_escape(value)}"'
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, float):
+        return json.dumps(value)
+    if isinstance(value, dict):
+        items = ",".join(
+            f'"{_escape(str(k))}":{dumps_stj(v)}' for k, v in value.items()
+        )
+        return "{" + items + "}"
+    if isinstance(value, (list, tuple)):
+        return "[" + ",".join(dumps_stj(v) for v in value) + "]"
+    return f'"{_escape(str(value))}"'
+
+
 def render_proof_json(p: Proof, value_serializer=None) -> str:
-    """ProofConverter.Write (Proof.fs:74-79): Valid -> JSON of the value;
+    """ProofConverter.Write (Proof.fs:74-79): Valid -> JSON of the value
+    (through the same System.Text.Json default encoder the reference uses);
     Invalid -> the failures document."""
     if p.valid:
         if value_serializer is not None:
             return value_serializer(p.value)
-        return json.dumps(p.value, separators=(",", ":"), default=str)
+        return dumps_stj(p.value)
     return render_failures_json(list(p.failures), p.fields)

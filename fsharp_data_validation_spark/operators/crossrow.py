@@ -34,9 +34,16 @@ def uniqueness_violations(
     unsalted path, so salting is only for adversarial key distributions.
     """
     if salt_buckets and salt_buckets > 1:
-        salted = df.groupBy(
-            *keys, (F.spark_partition_id() % salt_buckets).alias("_salt")
-        ).agg(F.count(F.lit(1)).alias("_partial"))
+        # row-level salt, independent of physical partitioning: a hash of
+        # monotonically_increasing_id spreads a flooded key uniformly over
+        # the buckets even after AQE coalescing reshapes the input
+        # partitions (spark_partition_id-based salt can collapse to a few
+        # distinct values there). The salt never reaches the output, so the
+        # id's nondeterminism across runs is irrelevant.
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+        salted = df.groupBy(*keys, salt.alias("_salt")).agg(
+            F.count(F.lit(1)).alias("_partial")
+        )
         counts = salted.groupBy(*keys).agg(F.sum("_partial").alias("n_dups"))
     else:
         counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_dups"))

@@ -65,17 +65,29 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_sets(
-    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_bits: int = 64
 ) -> DataFrame:
-    """(doc_id, sh) where ``sh`` is the distinct shingle set. With
-    ``hashed`` (default) each shingle is xxhash64'd to a BIGINT at creation:
-    ~5x less heap per cached set than Java strings (GC pressure is what
-    limits dedup scaling), and set intersections compare longs. Exact up to
-    64-bit hash collisions (~2^-64 per compared pair — no effect on any
-    Jaccard value at observable precision)."""
+    """(doc_id, sh) where ``sh`` is the distinct shingle set, each shingle
+    xxhash64'd to an integer at creation: ~5x less heap per cached set than
+    Java strings (GC pressure / memory bandwidth is what limits dedup
+    scaling), and set intersections compare fixed-width ints.
+
+    ``hash_bits=64`` (BIGINT, default — the exact-Jaccard oracle path):
+    collision odds ~2^-64 per compared pair, no observable effect.
+    ``hash_bits=32`` (INT — the LSH scale path, 31 usable bits so the ANSI
+    BIGINT->INT cast can't overflow): halves the cached and shuffled shingle
+    bytes again; for a compared pair with a ~100-shingle union,
+    P[any in-pair collision] ≈ 100^2/2 / 2^31 ≈ 2.3e-6 — below the LSH band
+    construction's own miss probability, so it does not change the
+    pipeline's accuracy class. Collisions across *different* pairs are
+    harmless (each pair is verified on its own union)."""
     sh = shingles(F.col(text_col), n)
-    if hashed:
-        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    sh = F.transform(
+        sh,
+        lambda s: F.xxhash64(s).bitwiseAND(F.lit(0x7FFFFFFF)).cast("int")
+        if hash_bits == 32
+        else F.xxhash64(s),
+    )
     return df.select(F.col(id_col).alias("doc_id"), sh.alias("sh")).filter(
         F.size("sh") > 0
     )
@@ -188,23 +200,26 @@ def minhash_lsh_pairs(
     Returns the same schema as ngram_jaccard_pairs — at high recall the two
     agree, which is exactly what the oracle checks."""
     rows = num_hashes // bands
-    # reused by the signature build and both verify sides -> persist
-    sets_df = _shingle_sets(df, id_col, text_col, n).persist()
+    # reused by the signature build and both verify sides -> persist.
+    # 32-bit shingle hashes: the LSH path's accuracy class already admits
+    # ~1e-6 per-pair error (band construction), so the narrower hash is free
+    # and halves the dominant cached/shuffled payload (see _shingle_sets).
+    sets_df = _shingle_sets(df, id_col, text_col, n, hash_bits=32).persist()
     sig = minhash_signatures(sets_df, num_hashes)
     # all band keys in ONE pass over the signatures (explode of an array of
     # structs) — not a 16-way union, which would re-plan the signature
-    # aggregation per band and shuffle it `bands` times
+    # aggregation per band and shuffle it `bands` times. Band key is a
+    # native xxhash64 BIGINT over the band's signature columns (8 bytes),
+    # not an md5 hex string (32 chars + object overhead): the bucket
+    # self-join shuffles and caches 4x fewer key bytes, and key equality is
+    # a long compare. Cross-band hash collisions are excluded by joining on
+    # (band, key); within-band collisions only add candidates, which the
+    # exact verify removes (no recall loss).
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh_{b * rows + r}").cast("string")
-                        for r in range(rows)
-                    ],
-                )
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
             ).alias("bkey"),
         )
         for b in range(bands)
@@ -284,7 +299,11 @@ def simhash_pairs(
 
 
 def simhash_banded_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int | None = 100_000,
 ) -> DataFrame:
     """EXACT SimHash near-dup pairs, sub-quadratic: the 60-bit signature is
     split into ``max_hamming + 1`` chunks; by pigeonhole, any pair within
@@ -297,6 +316,23 @@ def simhash_banded_pairs(
     Scale: candidate count per bucket is c^2 over docs sharing a 15-bit
     chunk value — uniform-ish for hash-like signatures, and the join
     shuffles O(n * bands) rows instead of materializing n^2/2 pairs.
+
+    Skew guard (``bucket_cap``): real near-dup corpora are NOT uniform —
+    a dominant template (boilerplate prefix, license header) drags many
+    signatures toward a shared chunk value, and one hot (band, key) bucket
+    re-grows the c^2 blowup the banding was meant to kill. Buckets above
+    the cap therefore fall back to SUB-BANDING instead of self-joining:
+    docs in a hot bucket already agree on chunk ``band``, so for any pair
+    within the hamming budget all <= max_hamming differing bits lie in the
+    remaining ``60 - chunk_bits`` complement bits; splitting that
+    complement into ``max_hamming + 1`` sub-chunks pigeonholes again (one
+    sub-chunk must be clean), so the hot bucket joins on
+    (band, key, sub, subkey) — candidates per hot bucket drop from c^2 to
+    ~(max_hamming+1) * (c/S)^2 for S sub-buckets, with recall still 1.0 by
+    construction. Irreducible case: k docs with IDENTICAL signatures
+    collide in every sub-bucket, but those are k^2/2 true hamming-0 pairs
+    — output mass, not wasted candidates. ``bucket_cap=None`` disables the
+    guard (and the bucket-size aggregation that feeds it).
     """
     bands = max_hamming + 1
     chunk_bits = (SIMHASH_BITS + bands - 1) // bands
@@ -311,20 +347,78 @@ def simhash_banded_pairs(
         )
         for i in range(bands)
     ]
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*chunk_structs)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.key").alias("key"))
-    cand = (
-        buckets.alias("a")
-        .join(
-            buckets.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    buckets = (
+        sig.select("doc_id", F.explode(F.array(*chunk_structs)).alias("bs"))
+        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.key").alias("key"))
+        .persist()
     )
+
+    def self_join_pairs(b: DataFrame, keys: List[str]) -> DataFrame:
+        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        for k in keys:
+            cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+        return (
+            b.alias("a")
+            .join(b.alias("b"), cond)
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        )
+
+    if bucket_cap is None:
+        cand = self_join_pairs(buckets, ["band", "key"]).distinct()
+    else:
+        sizes = buckets.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        tagged = buckets.join(sizes, ["band", "key"])
+        cold = tagged.filter(F.col("_bsz") <= bucket_cap).select(
+            "doc_id", "band", "key"
+        )
+        # hot docs agree on chunk `band`; sub-band the complement bits.
+        # complement(band) = signature with chunk `band` spliced out (low
+        # bits below the chunk | high bits above it shifted down) — band is
+        # a column, shift amounts must be literals, so build a small CASE
+        # over the `bands` possible values.
+        comp_bits = SIMHASH_BITS - chunk_bits
+        sub_bits = (comp_bits + bands - 1) // bands
+        sub_mask = (1 << sub_bits) - 1
+        s = F.col("simhash")
+
+        def comp_for(b: int) -> F.Column:
+            low = s.bitwiseAND(F.lit((1 << (b * chunk_bits)) - 1))
+            high = F.shiftright(s, (b + 1) * chunk_bits)
+            return low + F.shiftleft(high, b * chunk_bits)
+
+        comp = F.lit(0).cast("bigint")
+        for b in range(bands):
+            comp = F.when(F.col("band") == b, comp_for(b)).otherwise(comp)
+        sub_structs = [
+            F.struct(
+                F.lit(j).alias("sub"),
+                F.shiftright(comp, j * sub_bits)
+                .bitwiseAND(F.lit(sub_mask))
+                .alias("subkey"),
+            )
+            for j in range(bands)
+        ]
+        hot = (
+            tagged.filter(F.col("_bsz") > bucket_cap)
+            .join(sig, "doc_id")  # fetch the signature only for hot rows
+            .select(
+                "doc_id", "band", "key", F.explode(F.array(*sub_structs)).alias("ss")
+            )
+            .select(
+                "doc_id",
+                "band",
+                "key",
+                F.col("ss.sub").alias("sub"),
+                F.col("ss.subkey").alias("subkey"),
+            )
+        )
+        cand = (
+            self_join_pairs(cold, ["band", "key"])
+            .union(self_join_pairs(hot, ["band", "key", "sub", "subkey"]))
+            .distinct()
+        )
     sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
     sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
     return (

@@ -13,8 +13,17 @@ Manifest entry fields:
   rows_scanned     rows validated in the partition
   rows_with_violations / violations
   constraints_evaluated
-  input_snapshot   caller-supplied pin (Iceberg snapshot id / parquet mtime)
+  input_snapshot   input pin — computed from the input's file listing
+                   (``parquet_snapshot``), or caller-supplied (an Iceberg
+                   snapshot id when a catalog is attached)
   started_at / finished_at (unix seconds)
+
+Snapshot-drift semantics (the Iceberg-snapshot analogue for the parquet
+fallback): every manifest entry records the input pin it validated against.
+On resume, entries whose pin differs from the current input are DRIFTED —
+their validation result describes data that no longer exists. ``on_drift``
+selects the policy: ``"error"`` (default, fail loudly), ``"revalidate"``
+(drifted partitions go back in the pending set), ``"ignore"``.
 
 At 10^12-turn scale partitions are Iceberg day/bucket partitions; one
 manifest entry per partition keeps the manifest tiny (thousands of entries)
@@ -32,6 +41,48 @@ from typing import List, Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.compiler import PROOF_GATE, Suite
+
+
+class SnapshotDriftError(RuntimeError):
+    """The input changed under completed manifest entries (their pin no
+    longer matches the current input snapshot)."""
+
+    def __init__(self, drifted: List[str], current: str):
+        super().__init__(
+            f"input snapshot drift: {len(drifted)} completed partition(s) were "
+            f"validated against a different input (current pin {current[:12]}…); "
+            f"partitions: {drifted[:10]}{'…' if len(drifted) > 10 else ''}. "
+            "Pass on_drift='revalidate' to redo them or on_drift='ignore' to keep."
+        )
+        self.drifted = drifted
+        self.current = current
+
+
+def parquet_snapshot(path: str) -> str:
+    """Deterministic pin of a parquet directory's current state: sha256 over
+    the sorted (relative path, size, mtime_ns) of every data file. This is
+    the parquet-fallback analogue of an Iceberg snapshot id — any append,
+    rewrite, or delete changes it, while re-reading unchanged data does not.
+    Metadata-only (no file bytes read): O(files) stat calls, same cost class
+    as Iceberg's manifest-list read, so it stays cheap at thousands of
+    files. With a real Iceberg catalog attached, pass the table's
+    ``snapshot_id`` as ``input_snapshot`` instead."""
+    import hashlib
+
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            if name.startswith((".", "_")) or name.endswith(".crc"):
+                continue
+            full = os.path.join(root, name)
+            st = os.stat(full)
+            entries.append(
+                (os.path.relpath(full, path), st.st_size, st.st_mtime_ns)
+            )
+    h = hashlib.sha256()
+    for rel, size, mtime in sorted(entries):
+        h.update(f"{rel}\x00{size}\x00{mtime}\n".encode())
+    return h.hexdigest()
 
 
 def _atomic_write(path: str, payload: dict) -> None:
@@ -74,16 +125,23 @@ class ValidationRun:
         key_cols: Sequence[str],
         partition_col: str,
         input_snapshot: Optional[str] = None,
+        input_path: Optional[str] = None,
+        on_drift: str = "error",
         emit_reports: bool = False,
         emit_valid: bool = False,
     ):
+        if on_drift not in ("error", "revalidate", "ignore"):
+            raise ValueError(f"on_drift must be error|revalidate|ignore, got {on_drift!r}")
         self.suite = suite
         self.out_dir = out_dir
         self.emit_reports = emit_reports
         self.emit_valid = emit_valid
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
+        if input_snapshot is None and input_path is not None:
+            input_snapshot = parquet_snapshot(input_path)
         self.input_snapshot = input_snapshot
+        self.on_drift = on_drift
         self.manifest_dir = os.path.join(out_dir, "manifest")
         self.violations_dir = os.path.join(out_dir, "violations")
         self.reports_dir = os.path.join(out_dir, "reports")
@@ -120,12 +178,30 @@ class ValidationRun:
         )
 
     # -- execution -------------------------------------------------------------
+    def drifted_partitions(self) -> List[str]:
+        """Completed partitions whose recorded input pin differs from this
+        run's pin (both sides non-null)."""
+        if self.input_snapshot is None:
+            return []
+        return sorted(
+            p
+            for p, doc in self.completed_partitions().items()
+            if doc.get("input_snapshot") is not None
+            and doc["input_snapshot"] != self.input_snapshot
+        )
+
     def pending_partitions(self, df: DataFrame) -> List[str]:
         all_parts = [
             str(r[0])
             for r in df.select(self.partition_col).distinct().orderBy(self.partition_col).collect()
         ]
         done = self.completed_partitions()
+        drifted = set(self.drifted_partitions())
+        if drifted:
+            if self.on_drift == "error":
+                raise SnapshotDriftError(sorted(drifted), self.input_snapshot)
+            if self.on_drift == "revalidate":
+                return [p for p in all_parts if p not in done or p in drifted]
         return [p for p in all_parts if p not in done]
 
     def _violations_df(self, pdf: DataFrame) -> DataFrame:

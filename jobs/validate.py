@@ -48,7 +48,19 @@ def main(argv=None) -> int:
         default=16,
         help="input partitions validated per Spark job (resume granularity)",
     )
-    ap.add_argument("--snapshot", default=None, help="input snapshot pin for lineage")
+    ap.add_argument(
+        "--snapshot",
+        default=None,
+        help="input snapshot pin for lineage (e.g. an Iceberg snapshot id); "
+        "defaults to an automatic file-listing pin of --input",
+    )
+    ap.add_argument(
+        "--on-drift",
+        choices=["error", "revalidate", "ignore"],
+        default="error",
+        help="what to do when completed manifest entries were validated "
+        "against a different input snapshot",
+    )
     ap.add_argument(
         "--emit-reports",
         action="store_true",
@@ -79,6 +91,8 @@ def main(argv=None) -> int:
         key_cols=["conv_id", "turn_idx", "ts"],
         partition_col=args.partition_col,
         input_snapshot=args.snapshot,
+        input_path=args.input if args.input and os.path.isdir(args.input) else None,
+        on_drift=args.on_drift,
         emit_reports=args.emit_reports,
         emit_valid=args.emit_valid,
     )

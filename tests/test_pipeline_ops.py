@@ -110,6 +110,42 @@ def test_simhash_banded_equals_allpairs(spark):
     assert allp and allp == banded
 
 
+def test_simhash_skew_guard_output_unchanged(spark):
+    """A bucket_cap small enough to force EVERY bucket through the
+    sub-banding fallback must still produce the exact all-pairs result
+    (pigeonhole on the complement bits loses nothing), on a corpus with a
+    dominant template (boilerplate prefix + small mutations) that drags
+    signatures into shared chunk buckets."""
+    from pyspark.sql import Row
+
+    from fsharp_data_validation_spark.operators.dedup import (
+        simhash_banded_pairs,
+        simhash_pairs,
+    )
+
+    template = " ".join(f"boiler{i}" for i in range(40))
+    rows = [
+        Row(doc_id=i, text=f"{template} tail{i % 7} extra{i % 3} uniq{i // 9}")
+        for i in range(120)
+    ] + [Row(doc_id=200 + i, text=f"free text body {i} alpha beta") for i in range(20)]
+    docs = spark.createDataFrame(rows)
+    allp = sorted(map(tuple, simhash_pairs(docs, "doc_id", "text", 3).collect()))
+    guarded = sorted(
+        map(
+            tuple,
+            simhash_banded_pairs(docs, "doc_id", "text", 3, bucket_cap=5).collect(),
+        )
+    )
+    unguarded = sorted(
+        map(
+            tuple,
+            simhash_banded_pairs(docs, "doc_id", "text", 3, bucket_cap=None).collect(),
+        )
+    )
+    assert allp, "fixture should contain near-dup pairs"
+    assert guarded == allp == unguarded
+
+
 def test_ivf_topk_recall(spark):
     """IVF with reduced probing keeps high top-k recall vs brute force; with
     full probing it is exactly brute force (also pinned by the oracle)."""

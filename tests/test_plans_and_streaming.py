@@ -72,6 +72,62 @@ def test_manifest_run_and_resume(spark, tmp_path):
     ).run(_df(spark)) == []
 
 
+def test_manifest_snapshot_drift(spark, tmp_path):
+    from fsharp_data_validation_spark.plans.manifest import (
+        SnapshotDriftError,
+        parquet_snapshot,
+    )
+
+    src = str(tmp_path / "drift_src")
+    out = str(tmp_path / "drift_out")
+    _df(spark).write.mode("overwrite").parquet(src)
+
+    def mk(**kw):
+        return ValidationRun(
+            transcript_row_suite(),
+            out,
+            ["conv_id", "turn_idx"],
+            "part",
+            input_path=src,
+            **kw,
+        )
+
+    pin1 = parquet_snapshot(src)
+    run = mk()
+    assert run.input_snapshot == pin1  # automatic pin, not caller-supplied
+    run.run(spark.read.parquet(src))
+    docs = run.completed_partitions()
+    assert all(d["input_snapshot"] == pin1 for d in docs.values())
+
+    # same input -> same pin -> clean no-op resume
+    assert mk().run(spark.read.parquet(src)) == []
+
+    # input drifts under the manifest: rewrite with an extra partition
+    drifted = _df(spark).union(
+        spark.createDataFrame(
+            [Row(conv_id="c9", turn_idx=0, role="user", text="new", tool=None, part="d")],
+            schema=SCHEMA,
+        )
+    )
+    drifted.write.mode("overwrite").parquet(src)
+    pin2 = parquet_snapshot(src)
+    assert pin2 != pin1
+
+    with pytest.raises(SnapshotDriftError) as ei:
+        mk().run(spark.read.parquet(src))
+    assert set(ei.value.drifted) == {"a", "b", "c"}
+
+    # ignore: only genuinely-new partitions run, stale entries kept
+    done = mk(on_drift="ignore").run(spark.read.parquet(src))
+    assert [o.partition for o in done] == ["d"]
+
+    # revalidate: drifted entries are redone and re-pinned
+    redone = mk(on_drift="revalidate").run(spark.read.parquet(src))
+    assert [o.partition for o in redone] == ["a", "b", "c"]
+    docs = mk().completed_partitions()
+    assert all(d["input_snapshot"] == pin2 for d in docs.values())
+
+
 def test_streaming_validation(spark, tmp_path):
     from fsharp_data_validation_spark.streaming.validate_stream import (
         run_stream_to_parquet,
