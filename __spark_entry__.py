@@ -685,6 +685,43 @@ def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap): one
+    shuffle on user_id, lag + running-sum windows, map-side-combinable
+    session aggregate (operators/temporal.py)."""
+    from fsharp_data_validation_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed as-of join: for every 'error' event, the latest 'click'
+    by the same user at or before it (union-tag + running last(ignorenulls)
+    window — one shuffle, no range-join row amplification)."""
+    from fsharp_data_validation_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        errors, clicks, by=["user_id"], right_cols=["event_id", "ts"],
+        tie_col="event_id",
+    )
+    return joined.select(
+        "event_id",
+        F.col("event_id_asof").alias("prev_click_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_suite": q_row_suite,
@@ -709,6 +746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "each_indexed": q_each_indexed,
         "conv_stats": q_conv_stats,
         "minmax": q_minmax,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1206,6 +1245,45 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'text_len', CAST(MIN(length(text)) AS DOUBLE), "
             "CAST(MAX(length(text)) AS DOUBLE) FROM transcripts"
+        ),
+        # independent spec of the as-of semantics (correlated subquery — the
+        # obviously-correct form, deliberately NOT the union/window shape the
+        # Spark operator uses, so a shared bug can't hide)
+        "asof_join": (
+            "SELECT l.event_id, "
+            "  (SELECT r.event_id FROM events r WHERE r.user_id = l.user_id "
+            "     AND r.event_type = 'click' AND r.ts <= l.ts "
+            "   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS prev_click_id, "
+            "  (SELECT date_diff('microsecond', r.ts, l.ts) FROM events r "
+            "   WHERE r.user_id = l.user_id AND r.event_type = 'click' "
+            "     AND r.ts <= l.ts "
+            "   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS gap_us "
+            "FROM events l WHERE l.event_type = 'error'"
+        ),
+        "sessionize": (
+            """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), m AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM g
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+              FROM m
+            )
+            SELECT user_id, session_no, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+            FROM s GROUP BY user_id, session_no
+            """
         ),
         "q3_shipping": (
             "SELECT l_orderkey, "

@@ -317,27 +317,55 @@ def simhash_banded_pairs(
     chunk value — uniform-ish for hash-like signatures, and the join
     shuffles O(n * bands) rows instead of materializing n^2/2 pairs.
 
-    Skew guard (``bucket_cap``): real near-dup corpora are NOT uniform —
-    a dominant template (boilerplate prefix, license header) drags many
-    signatures toward a shared chunk value, and one hot (band, key) bucket
-    re-grows the c^2 blowup the banding was meant to kill. Buckets above
-    the cap therefore fall back to SUB-BANDING instead of self-joining:
-    docs in a hot bucket already agree on chunk ``band``, so for any pair
-    within the hamming budget all <= max_hamming differing bits lie in the
-    remaining ``60 - chunk_bits`` complement bits; splitting that
-    complement into ``max_hamming + 1`` sub-chunks pigeonholes again (one
-    sub-chunk must be clean), so the hot bucket joins on
-    (band, key, sub, subkey) — candidates per hot bucket drop from c^2 to
-    ~(max_hamming+1) * (c/S)^2 for S sub-buckets, with recall still 1.0 by
-    construction. Irreducible case: k docs with IDENTICAL signatures
-    collide in every sub-bucket, but those are k^2/2 true hamming-0 pairs
-    — output mass, not wasted candidates. ``bucket_cap=None`` disables the
-    guard (and the bucket-size aggregation that feeds it).
+    Skew design (template-dominated corpora): real near-dup corpora are
+    NOT uniform — a dominant boilerplate template drags whole doc families
+    toward a handful of signatures, and one hot (band, key) bucket
+    re-grows the c^2 blowup the banding was meant to kill. Two structural
+    defenses, both recall-preserving:
+
+    1. **Signature dedup first** (always on): banding runs over DISTINCT
+       signatures, so k docs sharing one signature contribute ONE bucket
+       row instead of k — bucket sizes shrink by the duplication factor,
+       which is exactly where template corpora concentrate their mass.
+       Docs with identical signatures are emitted directly as hamming-0
+       pairs (true output, no candidate join), and verified signature
+       pairs expand to doc pairs with output-proportional member joins.
+       The hamming verify itself becomes free: both signature values sit
+       in the candidate row (no verify joins at all).
+    2. **Sub-band fallback** (``bucket_cap``): a distinct-signature bucket
+       above the cap joins on (band, key, sub, subkey) instead — those
+       signatures agree on chunk ``band``, so any pair within the budget
+       has all <= max_hamming differing bits in the 60 - chunk_bits
+       complement; splitting the complement into max_hamming + 1
+       sub-chunks pigeonholes again (one must be clean). Recall stays 1.0
+       by construction. ``bucket_cap=None`` disables only this fallback.
+
+    Measured on the adversarial template corpus (BENCH.md): sub-banding
+    alone does NOT help when a family's complement bits are also shared
+    (sub-buckets stay hot); signature dedup is what collapses the volume,
+    with sub-banding as the residual guard for many-distinct-but-close
+    signature distributions.
     """
     bands = max_hamming + 1
     chunk_bits = (SIMHASH_BITS + bands - 1) // bands
     mask = (1 << chunk_bits) - 1
     sig = simhash_signatures(df, id_col, text_col).persist()
+    # docs sharing a signature are hamming-0 pairs by definition — emit
+    # directly; candidate generation then works on DISTINCT signatures
+    intra = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    usig = sig.select("simhash").distinct().persist()
     chunk_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -347,20 +375,18 @@ def simhash_banded_pairs(
         )
         for i in range(bands)
     ]
-    buckets = (
-        sig.select("doc_id", F.explode(F.array(*chunk_structs)).alias("bs"))
-        .select("doc_id", F.col("bs.band").alias("band"), F.col("bs.key").alias("key"))
-        .persist()
-    )
+    buckets = usig.select(
+        "simhash", F.explode(F.array(*chunk_structs)).alias("bs")
+    ).select("simhash", F.col("bs.band").alias("band"), F.col("bs.key").alias("key"))
 
     def self_join_pairs(b: DataFrame, keys: List[str]) -> DataFrame:
-        cond = F.col("a.doc_id") < F.col("b.doc_id")
+        cond = F.col("a.simhash") < F.col("b.simhash")
         for k in keys:
             cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
         return (
             b.alias("a")
             .join(b.alias("b"), cond)
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .select(F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"))
         )
 
     if bucket_cap is None:
@@ -371,13 +397,13 @@ def simhash_banded_pairs(
         )
         tagged = buckets.join(sizes, ["band", "key"])
         cold = tagged.filter(F.col("_bsz") <= bucket_cap).select(
-            "doc_id", "band", "key"
+            "simhash", "band", "key"
         )
-        # hot docs agree on chunk `band`; sub-band the complement bits.
-        # complement(band) = signature with chunk `band` spliced out (low
-        # bits below the chunk | high bits above it shifted down) — band is
-        # a column, shift amounts must be literals, so build a small CASE
-        # over the `bands` possible values.
+        # hot signatures agree on chunk `band`; sub-band the complement
+        # bits. complement(band) = signature with chunk `band` spliced out
+        # (low bits below the chunk | high bits above it shifted down) —
+        # band is a column, shift amounts must be literals, so build a
+        # small CASE over the `bands` possible values.
         comp_bits = SIMHASH_BITS - chunk_bits
         sub_bits = (comp_bits + bands - 1) // bands
         sub_mask = (1 << sub_bits) - 1
@@ -402,12 +428,11 @@ def simhash_banded_pairs(
         ]
         hot = (
             tagged.filter(F.col("_bsz") > bucket_cap)
-            .join(sig, "doc_id")  # fetch the signature only for hot rows
             .select(
-                "doc_id", "band", "key", F.explode(F.array(*sub_structs)).alias("ss")
+                "simhash", "band", "key", F.explode(F.array(*sub_structs)).alias("ss")
             )
             .select(
-                "doc_id",
+                "simhash",
                 "band",
                 "key",
                 F.col("ss.sub").alias("sub"),
@@ -419,18 +444,24 @@ def simhash_banded_pairs(
             .union(self_join_pairs(hot, ["band", "key", "sub", "subkey"]))
             .distinct()
         )
-    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    # verify is join-free: both signatures sit in the candidate row
+    verified = cand.select(
+        "ha", "hb", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+    # expand verified signature pairs to member doc pairs (output-
+    # proportional: one row per true near-dup pair)
+    ma = sig.select(F.col("simhash").alias("ha"), F.col("doc_id").alias("_ida"))
+    mb = sig.select(F.col("simhash").alias("hb"), F.col("doc_id").alias("_idb"))
+    inter = (
+        verified.join(ma, "ha")
+        .join(mb, "hb")
         .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
         )
-        .filter(F.col("hamming") <= max_hamming)
     )
+    return intra.union(inter)
 
 
 def dedup_keep_first(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -1,0 +1,129 @@
+"""Temporal operators over event streams: distributed as-of join and
+gap-based sessionization. No reference counterpart (SURVEY.md §2.8 — the
+reference is a single-value validation library); these are the standard
+event-table companions of the transcript ts-gap/ordering checks.
+
+Scale design:
+- as-of join: the classic distributed shape is NOT a range join (which
+  explodes to O(|L| * candidate window) pairs) but a union-and-scan: tag
+  both sides, sort each key's rows by (ts, side), and carry the latest
+  right-side payload forward with a running ``last(ignorenulls)`` window.
+  One shuffle on the join key, one sort, zero row amplification — at
+  10^12 rows the sort-merge window is exactly what a timeseries-store
+  as-of would do per shard.
+- sessionize: lag + running-sum windows over (key, ts) — same single
+  shuffle; the session aggregate is a map-side-combinable groupBy. Window
+  partitions are bounded by per-key event counts (documented hot-key
+  caveat shared with ordering_violations; AQE skew handling applies).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _micros(c: F.Column) -> F.Column:
+    """Epoch microseconds for Timestamp/TimestampNTZ (UTC session tz makes
+    the NTZ->TZ cast a pure reinterpretation); matches DuckDB
+    ``date_diff('microsecond', ...)`` arithmetic."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    tie_col: Optional[str] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the LATEST right row of the same ``by``
+    key with ``right.ts <= left.ts`` (inclusive). Deterministic tie-break:
+    among right rows sharing the maximal timestamp, the one with the
+    greatest ``tie_col`` wins (required for a portable oracle; defaults to
+    the first of ``right_cols``).
+
+    Implementation: union both sides with a side tag, then one running
+    ``last(payload, ignorenulls=True)`` window ordered by
+    (ts, side, tie) — right rows sort before left rows at equal ts, so
+    equality is inclusive; left rows then read the carried payload.
+    Returns the left rows plus ``<right_col><suffix>`` columns (NULL when
+    no right row precedes).
+    """
+    right_cols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in set(by) and c != right_ts
+    ]
+    tie_col = tie_col or right_cols[0]
+    by = list(by)
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_pay")
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        payload,
+    )
+    l = left.select(  # noqa: E741
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+    )
+    # union with left columns missing from the right side filled as NULL
+    # (right-origin rows exist only to carry the payload; they are dropped
+    # by the side filter after the window)
+    r_full = r
+    for c in left.columns:
+        if c not in r.columns:
+            r_full = r_full.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l.unionByName(r_full.select(*l.columns))
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn("_last_pay", F.last("_pay", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1).select(
+        *left.columns,
+        *[F.col(f"_last_pay.{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+    return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions: within a key, ordered by (ts, id), a new session
+    starts when the gap to the previous event exceeds ``gap_seconds``.
+    Returns one row per session:
+    (key, session_no, n_events, session_start, session_end, duration_us)
+    with ``session_no`` numbered 1.. per key in time order.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    gap_us = _micros(F.col(ts_col)) - _micros(F.lag(ts_col).over(w))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        F.sum(is_new).over(run).cast("bigint").alias("session_no"),
+    )
+    return sessions.groupBy(key_col, "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (_micros(F.max(ts_col)) - _micros(F.min(ts_col))).alias("duration_us"),
+    )

@@ -1,10 +1,18 @@
 """SimHash band-bucket skew guard evidence (VERDICT r01 item 7).
 
-Builds a deterministic adversarial corpus where a dominant boilerplate
-template drags most signatures toward shared chunk values (the situation the
-uniform-bucket assumption of pigeonhole banding breaks under), then measures
-candidate-pair counts and the max bucket size with the guard off vs on, and
-verifies the verified output is identical. Appends the numbers to BENCH.md.
+Builds a deterministic adversarial corpus where a few dominant boilerplate
+templates drag most signatures toward shared chunk values (the situation the
+uniform-bucket assumption of pigeonhole banding breaks under), then:
+
+1. at FULL size, computes the exact candidate-join volume (sum over buckets
+   of c*(c-1)/2) for the unguarded banding vs the guarded sub-banding —
+   analytically from bucket sizes, because actually executing the unguarded
+   self-join at this skew is the c^2 blowup itself (~1e9+ rows, i.e. the
+   failure mode being demonstrated);
+2. at a smaller size where the unguarded join is still feasible, runs both
+   variants end-to-end and checks the verified outputs are identical.
+
+Appends the numbers to BENCH.md.
 
 Usage: python tools/bench_simhash_skew.py [--docs 200000] [--cap 2000]
 """
@@ -18,17 +26,22 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 
-def adversarial_corpus(spark, n_docs: int):
+def adversarial_corpus(spark, n_docs: int) -> DataFrame:
     """~70% of docs share one of 4 long boilerplate templates with a short
     mutated tail; 30% are free text. Deterministic, pure column exprs."""
     df = spark.range(0, n_docs, 1, 64)
     tmpl_id = F.pmod(F.xxhash64("id"), F.lit(10))
     words = F.transform(
         F.sequence(F.lit(0), F.lit(59)),
-        lambda i: F.concat(F.lit("boiler"), F.pmod(tmpl_id, F.lit(4)).cast("string"), F.lit("_"), i.cast("string")),
+        lambda i: F.concat(
+            F.lit("boiler"),
+            F.pmod(tmpl_id, F.lit(4)).cast("string"),
+            F.lit("_"),
+            i.cast("string"),
+        ),
     )
     boiler = F.concat(
         F.array_join(words, " "),
@@ -50,28 +63,24 @@ def adversarial_corpus(spark, n_docs: int):
     return df.select(F.col("id").alias("doc_id"), text.alias("text"))
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200_000)
-    ap.add_argument("--cap", type=int, default=2_000)
-    args = ap.parse_args()
-
+def bucket_volumes(spark, docs: DataFrame, cap: int) -> dict:
+    """Candidate-join volume per variant, computed from bucket sizes (no
+    pair materialization). Guarded volume = cold buckets' c2 + hot buckets'
+    sub-bucket c2 (over (band, key, sub, subkey))."""
     from fsharp_data_validation_spark.operators.dedup import (
         SIMHASH_BITS,
-        simhash_banded_pairs,
         simhash_signatures,
     )
-    from fsharp_data_validation_spark.sources.session import get_spark
 
-    spark = get_spark(master="local[16]", app="bench_simhash_skew")
-    spark.sparkContext.setLogLevel("ERROR")
-    docs = adversarial_corpus(spark, args.docs).persist()
-    docs.count()
-
-    # bucket-size profile of the unguarded banding
     bands, chunk_bits = 4, (SIMHASH_BITS + 3) // 4
     mask = (1 << chunk_bits) - 1
-    sig = simhash_signatures(docs, "doc_id", "text")
+    sig = simhash_signatures(docs, "doc_id", "text").persist()
+    c2 = (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+    # per-doc (naive) banding volume + the irreducible hamming-0 output mass
+    groups = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("c")).persist()
+    intra = groups.agg(
+        F.sum(c2).alias("intra_pairs"), F.count(F.lit(1)).alias("n_distinct")
+    ).collect()[0]
     chunk_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -79,56 +88,140 @@ def main() -> None:
         )
         for i in range(bands)
     ]
-    sizes = (
-        sig.select(F.explode(F.array(*chunk_structs)).alias("bs"))
-        .groupBy("bs.band", "bs.key")
-        .count()
+    naive_buckets = sig.select(
+        F.explode(F.array(*chunk_structs)).alias("bs")
+    ).select(F.col("bs.band").alias("band"), F.col("bs.key").alias("key"))
+    naive_prof = (
+        naive_buckets.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_bucket"), F.sum(c2).alias("vol"))
+        .collect()[0]
     )
+    # the shipped pipeline bands DISTINCT signatures
+    buckets = groups.select(
+        "simhash", F.explode(F.array(*chunk_structs)).alias("bs")
+    ).select("simhash", F.col("bs.band").alias("band"), F.col("bs.key").alias("key"))
+    sizes = buckets.groupBy("band", "key").agg(F.count(F.lit(1)).alias("c")).persist()
     prof = sizes.agg(
-        F.max("count").alias("max_bucket"),
-        F.sum(F.col("count") * F.col("count")).alias("sum_c2"),
+        F.max("c").alias("max_bucket"), F.sum(c2).alias("vol_unguarded")
     ).collect()[0]
+    cold_vol = (
+        sizes.filter(F.col("c") <= cap).agg(F.sum(c2)).collect()[0][0] or 0
+    )
+    # hot rows -> sub-bucket sizes over (band, key, sub, subkey)
+    comp_bits = SIMHASH_BITS - chunk_bits
+    sub_bits = (comp_bits + bands - 1) // bands
+    sub_mask = (1 << sub_bits) - 1
+    s = F.col("simhash")
+
+    def comp_for(b: int):
+        low = s.bitwiseAND(F.lit((1 << (b * chunk_bits)) - 1))
+        high = F.shiftright(s, (b + 1) * chunk_bits)
+        return low + F.shiftleft(high, b * chunk_bits)
+
+    comp = F.lit(0).cast("bigint")
+    for b in range(bands):
+        comp = F.when(F.col("band") == b, comp_for(b)).otherwise(comp)
+    sub_structs = [
+        F.struct(
+            F.lit(j).alias("sub"),
+            F.shiftright(comp, j * sub_bits).bitwiseAND(F.lit(sub_mask)).alias("subkey"),
+        )
+        for j in range(bands)
+    ]
+    hot = (
+        buckets.join(sizes.filter(F.col("c") > cap), ["band", "key"])
+        .select("simhash", "band", "key", F.explode(F.array(*sub_structs)).alias("ss"))
+        .groupBy("band", "key", "ss.sub", "ss.subkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hot_prof = hot.agg(
+        F.coalesce(F.sum(c2), F.lit(0)).alias("vol"),
+        F.coalesce(F.max("c"), F.lit(0)).alias("max_sub"),
+    ).collect()[0]
+    sig.unpersist()
+    sizes.unpersist()
+    groups.unpersist()
+    return {
+        "n_distinct_sigs": int(intra["n_distinct"]),
+        "intra_pairs_true_output": int(intra["intra_pairs"]),
+        "max_bucket_naive": int(naive_prof["max_bucket"]),
+        "vol_naive_per_doc_banding": int(naive_prof["vol"]),
+        "max_bucket_distinct": int(prof["max_bucket"]),
+        "vol_distinct_banding": int(prof["vol_unguarded"]),
+        "vol_guarded": int(cold_vol) + int(hot_prof["vol"]),
+        "max_hot_subbucket": int(hot_prof["max_sub"]),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--equiv-docs", type=int, default=10_000)
+    ap.add_argument("--cap", type=int, default=2_000)
+    args = ap.parse_args()
+
+    from fsharp_data_validation_spark.operators.dedup import simhash_banded_pairs
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(master="local[16]", app="bench_simhash_skew")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    big = adversarial_corpus(spark, args.docs).persist()
+    big.count()
+    vols = bucket_volumes(spark, big, args.cap)
+    big.unpersist()
+
+    small = adversarial_corpus(spark, args.equiv_docs).persist()
+    small.count()
 
     def run(cap):
         t0 = time.perf_counter()
-        out = simhash_banded_pairs(docs, "doc_id", "text", 3, bucket_cap=cap)
-        n = out.count()
+        n = simhash_banded_pairs(small, "doc_id", "text", 3, bucket_cap=cap).count()
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
-        docs.persist().count()
+        small.persist().count()
         return n, round(dt, 2)
 
+    n_guarded, t_guarded = run(args.cap // 10 if args.cap >= 10 else args.cap)
     n_unguarded, t_unguarded = run(None)
-    n_guarded, t_guarded = run(args.cap)
-    # candidate volumes (pre-verify) for the headline comparison
-    summary = {
-        "docs": args.docs,
-        "max_bucket_unguarded": prof["max_bucket"],
-        "sum_c2_unguarded": int(prof["sum_c2"]),
-        "cap": args.cap,
-        "pairs_unguarded": n_unguarded,
-        "pairs_guarded": n_guarded,
-        "output_identical": n_unguarded == n_guarded,
-        "sec_unguarded": t_unguarded,
-        "sec_guarded": t_guarded,
-    }
+
+    summary = {"docs": args.docs, "cap": args.cap, **vols,
+               "equiv_docs": args.equiv_docs,
+               "pairs_unguarded": n_unguarded, "pairs_guarded": n_guarded,
+               "output_identical": n_unguarded == n_guarded,
+               "sec_unguarded": t_unguarded, "sec_guarded": t_guarded}
     print(json.dumps(summary))
 
+    cut = vols["vol_naive_per_doc_banding"] / max(vols["vol_distinct_banding"], 1)
     section = (
         f"\n## SimHash band-bucket skew guard (adversarial template corpus)\n\n"
         f"Corpus: {args.docs:,} docs, ~70% built from 4 dominant boilerplate templates "
-        f"with short mutated tails (`tools/bench_simhash_skew.py`). Unguarded banding: "
-        f"max (band,key) bucket = {prof['max_bucket']:,} docs; sum of c^2 over buckets = "
-        f"{int(prof['sum_c2']):,} candidate-join rows. With bucket_cap={args.cap:,}, hot "
-        f"buckets fall back to complement-bit sub-banding (pigeonhole again — recall 1.0 "
-        f"by construction).\n\n"
-        f"| variant | verified pairs | wall sec |\n|---|---|---|\n"
-        f"| unguarded | {n_unguarded:,} | {t_unguarded} |\n"
-        f"| guarded (cap {args.cap:,}) | {n_guarded:,} | {t_guarded} |\n\n"
-        f"Output identical: {n_unguarded == n_guarded}. "
-        f"The guard bounds per-bucket candidate generation at ~(h+1)*(c/S)^2 instead of "
-        f"c^2; identical-signature groups remain irreducible (they are true hamming-0 "
-        f"pairs, i.e. output mass).\n"
+        f"with short mutated tails (`tools/bench_simhash_skew.py`); signatures of one "
+        f"template family differ by only a few bits, so whole families collapse into "
+        f"shared (band, key) buckets. Candidate-join volume is computed exactly from "
+        f"bucket sizes (sum of c*(c-1)/2) — executing the naive per-doc banded join at "
+        f"this skew IS the blowup being demonstrated "
+        f"({vols['vol_naive_per_doc_banding']:,} candidate rows).\n\n"
+        f"| variant | max bucket | candidate rows (exact) |\n|---|---|---|\n"
+        f"| naive per-doc banding (round-1 shape) | {vols['max_bucket_naive']:,} | "
+        f"{vols['vol_naive_per_doc_banding']:,} |\n"
+        f"| distinct-signature banding (shipped) | {vols['max_bucket_distinct']:,} | "
+        f"{vols['vol_distinct_banding']:,} |\n"
+        f"| + sub-band fallback above cap {args.cap:,} | max sub-bucket "
+        f"{vols['max_hot_subbucket']:,} | {vols['vol_guarded']:,} |\n\n"
+        f"Signature dedup cuts candidates **{cut:,.0f}x** on this corpus "
+        f"({vols['n_distinct_sigs']:,} distinct signatures across {args.docs:,} docs); "
+        f"the {vols['intra_pairs_true_output']:,} intra-signature pairs are true "
+        f"hamming-0 OUTPUT emitted directly without any candidate join. Sub-banding "
+        f"alone was measured NOT to help here (a family's complement bits are shared "
+        f"too — 3.98B 'guarded' vs 2.83B unguarded in the pre-fix run), which is why "
+        f"dedup-first is the primary defense and sub-banding only the residual guard. "
+        f"End-to-end output equality (cap forced down so template buckets go hot) "
+        f"checked at {args.equiv_docs:,} docs where the naive join is still "
+        f"executable: {n_unguarded:,} pairs both ways "
+        f"(identical: {n_unguarded == n_guarded}; {t_unguarded}s naive-cap=None vs "
+        f"{t_guarded}s guarded).\n"
     )
     with open("/root/repo/BENCH.md", "a") as f:
         f.write(section)
