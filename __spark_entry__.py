@@ -722,6 +722,46 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup over events: (day, type), (day) and grand
+    total in ONE shuffle via GROUP BY ROLLUP (Expand + single partial+final
+    hash agg — operators/temporal.py:time_rollup)."""
+    from fsharp_data_validation_spark.operators.temporal import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = time_rollup(ev, "ts", "event_type", "value")
+    # null-free output labels: the driver's value-hash compare need not
+    # agree with DuckDB on NULL ordering/serialization
+    return r.select(
+        F.coalesce(F.col("day").cast("string"), F.lit("(all)")).alias("day"),
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("event_type"),
+        "grp_id",
+        "n_events",
+        "total_value",
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k-per-stratum sample of documents by language
+    (hash-threshold prefilter + tiny window rank —
+    operators/sampling.py:stratified_sample)."""
+    from fsharp_data_validation_spark.operators.sampling import stratified_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return stratified_sample(load_docs(spark, sf_dir), "lang", "doc_id", 20).select(
+        "lang", "doc_id", "rnk"
+    )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level dedup digests over the transcripts: full-text
+    digest + role|tool flow digest, per-digest group sizes, canonical
+    keeper (operators/dedup.py:conversation_digests)."""
+    from fsharp_data_validation_spark.operators.dedup import conversation_digests
+
+    return conversation_digests(_transcripts(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_suite": q_row_suite,
@@ -748,6 +788,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax": q_minmax,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "time_rollup": q_time_rollup,
+        "stratified_sample": q_stratified_sample,
+        "conv_dedup": q_conv_dedup,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1284,6 +1327,40 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
             FROM s GROUP BY user_id, session_no
             """
+        ),
+        "time_rollup": (
+            "SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), '(all)') AS day, "
+            "COALESCE(event_type, '(all)') AS event_type, "
+            "CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE), event_type) AS BIGINT) AS grp_id, "
+            "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value "
+            "FROM events "
+            "GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS DATE), event_type)"
+        ),
+        # independent spec: plain per-stratum ROW_NUMBER (the obviously-
+        # correct form) — the Spark operator's hash-threshold prefilter must
+        # be lossless for this to match
+        "stratified_sample": with_docs(
+            "SELECT lang, doc_id, rnk FROM ("
+            "  SELECT lang, doc_id, ROW_NUMBER() OVER ("
+            "    PARTITION BY lang ORDER BY "
+            "    CAST(('0x' || substr(md5('strat' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), "
+            "    doc_id) AS rnk"
+            "  FROM docs"
+            ") WHERE rnk <= 20"
+        ),
+        "conv_dedup": with_transcripts(
+            "SELECT conv_id, text_digest, flow_digest, "
+            "  CAST(COUNT(*) OVER (PARTITION BY text_digest) AS BIGINT) AS n_same_text, "
+            "  CAST(COUNT(*) OVER (PARTITION BY flow_digest) AS BIGINT) AS n_same_flow, "
+            "  MIN(conv_id) OVER (PARTITION BY text_digest) AS keep_conv_id "
+            "FROM ("
+            "  SELECT conv_id, "
+            "    md5(string_agg(coalesce(text, ''), chr(31) "
+            "        ORDER BY turn_idx, coalesce(text, ''))) AS text_digest, "
+            "    md5(string_agg(coalesce(role, '') || '|' || coalesce(tool, ''), chr(31) "
+            "        ORDER BY turn_idx, coalesce(role, '') || '|' || coalesce(tool, ''))) AS flow_digest "
+            "  FROM transcripts GROUP BY conv_id"
+            ") a"
         ),
         "q3_shipping": (
             "SELECT l_orderkey, "

@@ -549,3 +549,51 @@ def near_dup_components(
             stacklevel=2,
         )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+
+
+def conversation_digests(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    flow_cols: tuple = ("role", "tool"),
+    sep: str = "\x1f",
+) -> DataFrame:
+    """Conversation-level exact dedup: one row per conversation with
+    (a) ``text_digest`` — md5 of the full turn text concatenated in stable
+    (turn_idx, text) order, and (b) ``flow_digest`` — md5 of the
+    role|tool sequence (finds template-identical conversations whose text
+    differs). Plus per-digest group size and the canonical keeper
+    (min conv_id sharing the text digest).
+
+    Scale: one shuffle on conv_col to assemble each conversation
+    (state bounded by turns-per-conversation; zero exchange on a
+    conv_id-bucketed layout, see sources.transcripts.write_bucketed);
+    the digest windows then run over the one-row-per-conversation table
+    (32-byte digests), so the second stage is ~n_convs rows regardless
+    of corpus size. Deterministic + portable: md5 over coalesced text,
+    ties in ``order_col`` (injected duplicate turn_idx) broken by the
+    text itself on both engines.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    flow = F.concat_ws("|", *[F.coalesce(F.col(c), F.lit("")) for c in flow_cols])
+
+    def ordered_digest(tok: F.Column) -> F.Column:
+        item = F.struct(F.col(order_col).alias("i"), tok.alias("t"))
+        arr = F.array_sort(F.collect_list(item))
+        return F.md5(F.array_join(F.transform(arr, lambda s: s["t"]), sep))
+
+    per_conv = df.groupBy(conv_col).agg(
+        ordered_digest(txt).alias("text_digest"),
+        ordered_digest(flow).alias("flow_digest"),
+    )
+    wt = Window.partitionBy("text_digest")
+    wf = Window.partitionBy("flow_digest")
+    return per_conv.select(
+        F.col(conv_col),
+        "text_digest",
+        "flow_digest",
+        F.count(F.lit(1)).over(wt).cast("bigint").alias("n_same_text"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("n_same_flow"),
+        F.min(conv_col).over(wt).alias("keep_conv_id"),
+    )

@@ -8,9 +8,12 @@ partitioning and seed plumbing.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import md5_int
+
+#: md5_int(hex_chars=15) is uniform on [0, 16**15).
+_MD5_15_MAX = 16 ** 15
 
 
 def hash_split(
@@ -23,4 +26,43 @@ def hash_split(
     return df.withColumn(
         "split",
         F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("test")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic exact-k sample per stratum: the k rows with the
+    smallest salted md5 hash of the id, ranked (``rnk`` 1..k) within each
+    stratum — a distributed, reproducible "reservoir" (equivalent to
+    ``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, id) <= k``).
+
+    Scale: a naive per-stratum ROW_NUMBER sorts every row of a 10^12-row
+    stratum through one task. Instead: (1) one cheap count aggregate gives
+    per-stratum sizes n_s (broadcast back); (2) rows are pre-filtered by a
+    hash threshold ~ (3k+20)/n_s * MAX_H, which keeps all k smallest hashes
+    except with probability exp(-Θ(k)) (Chernoff on the binomial count
+    below the threshold) while discarding ~everything else; (3) the window
+    ranks only the ~3k survivors per stratum. Strata with n_s <= 3k+20 skip
+    the filter. The slack guard is deterministic for fixed data — the
+    DuckDB oracle (plain ROW_NUMBER spec) would flag any loss.
+    """
+    h = md5_int(F.col(id_col).cast("string"), salt=salt)
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    joined = df.join(F.broadcast(counts), stratum_col)
+    keep_all = F.col("_n_s") <= (3 * k + 20)
+    thresh = (
+        (F.lit(float(3 * k + 20)) / F.col("_n_s").cast("double"))
+        * F.lit(float(_MD5_15_MAX))
+    ).cast("bigint")
+    survivors = joined.withColumn("_h", h).filter(keep_all | (F.col("_h") <= thresh))
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .drop("_n_s", "_h")
     )

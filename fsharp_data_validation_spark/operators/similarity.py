@@ -87,7 +87,7 @@ def brute_force_topk(
         F.desc("sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "sim")
     )
@@ -268,7 +268,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "sim")
     )

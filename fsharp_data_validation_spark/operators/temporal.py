@@ -95,6 +95,39 @@ def asof_join(
     return out
 
 
+def time_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    dim_col: str = "event_type",
+    value_col: str = "value",
+    grain: str = "day",
+) -> DataFrame:
+    """Multi-granularity time rollup ("hypertable rollup"): (bucket, dim),
+    (bucket) and grand-total aggregates in ONE pass via ``GROUP BY ROLLUP``.
+    Returns (day, <dim>, grp_id, n_events, total_value) where ``grp_id`` is
+    the standard SQL grouping bitmask (0 = finest grain, 3 = grand total).
+
+    Scale: Catalyst compiles ROLLUP to one Expand (3 output rows per input
+    row) feeding a single partial+final hash aggregate — one shuffle for all
+    three grains. The Expand 3x map-side amplification collapses immediately
+    in the partial aggregate (grouping keys are low-cardinality: days x
+    types), so at 10^12 rows the shuffle payload is the rollup grid, not the
+    data. If the dim were high-cardinality, the cheaper shape is finest-grain
+    groupBy then re-aggregate upward from the (small) grid — same result,
+    no Expand.
+    """
+    day = F.date_trunc(grain, F.col(ts_col)).cast("date").alias("day")
+    return (
+        df.select(day, F.col(dim_col), F.col(value_col))
+        .rollup("day", dim_col)
+        .agg(
+            F.grouping_id().cast("bigint").alias("grp_id"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str = "user_id",

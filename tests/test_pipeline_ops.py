@@ -319,3 +319,89 @@ def test_hash_split_deterministic(spark):
     # different salt -> decorrelated assignment is at least possible
     s3 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", 80, salt="z").collect()}
     assert len(s3) == len(s1)
+
+
+def test_stratified_sample_exact_k_and_lossless_prefilter(spark):
+    """The hash-threshold prefilter must be lossless: output == plain
+    per-stratum ROW_NUMBER over the full table. Also pins exact-k and
+    the small-stratum keep-all branch."""
+    from pyspark.sql import Window
+    from fsharp_data_validation_spark.operators.dedup import md5_int
+    from fsharp_data_validation_spark.operators.sampling import stratified_sample
+
+    rows = [Row(id=i, s="big") for i in range(500)] + [
+        Row(id=1000 + i, s="small") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    out = stratified_sample(df, "s", "id", k=5)
+    got = sorted((r["s"], r["rnk"], r["id"]) for r in out.collect())
+
+    w = Window.partitionBy("s").orderBy(
+        md5_int(F.col("id").cast("string"), salt="strat"), F.col("id")
+    )
+    naive = (
+        df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+    )
+    want = sorted((r["s"], r["rnk"], r["id"]) for r in naive.collect())
+    assert got == want
+    by_stratum = {}
+    for s, _, _ in got:
+        by_stratum[s] = by_stratum.get(s, 0) + 1
+    assert by_stratum == {"big": 5, "small": 3}  # min(k, n_s) per stratum
+
+
+def test_time_rollup_grains_consistent(spark):
+    """Rollup grains must re-aggregate consistently: day-level totals equal
+    the sum of their (day, type) children; grand total equals input size."""
+    from fsharp_data_validation_spark.operators.temporal import time_rollup
+    from datetime import datetime
+
+    rows = [
+        Row(ts=datetime(2026, 1, 1 + d, h), event_type=t, value=float(d * 10 + h))
+        for d in range(2)
+        for h in (3, 15)
+        for t in ("a", "b")
+    ]
+    df = spark.createDataFrame(rows)
+    out = time_rollup(df, "ts", "event_type", "value").collect()
+    fine = [r for r in out if r["grp_id"] == 0]
+    day = {r["day"]: r for r in out if r["grp_id"] == 1}
+    total = [r for r in out if r["grp_id"] == 3]
+    assert len(total) == 1 and total[0]["n_events"] == len(rows)
+    for d in day:
+        kids = [r for r in fine if r["day"] == d]
+        assert day[d]["n_events"] == sum(r["n_events"] for r in kids)
+        assert abs(day[d]["total_value"] - round(sum(r["total_value"] for r in kids), 2)) < 1e-6
+
+
+def test_conversation_digests_dup_and_flow(spark):
+    """Two text-identical conversations share text_digest (keeper = min
+    conv_id); a template-identical-but-different-text conversation shares
+    only flow_digest. Turn order must not matter (digest sorts by turn_idx)."""
+    from fsharp_data_validation_spark.operators.dedup import conversation_digests
+
+    def conv(cid, turns, shuffle=False):
+        ts = list(turns)
+        if shuffle:
+            ts = ts[::-1]
+        return [
+            Row(conv_id=cid, turn_idx=i, role=r, text=t, tool=tool)
+            for (i, r, t, tool) in ts
+        ]
+
+    base = [(0, "user", "hi", None), (1, "assistant", "hello", None),
+            (2, "tool", None, "tool_1")]
+    rows = (
+        conv("c1", base)
+        + conv("c2", base, shuffle=True)          # same text, rows unordered
+        + conv("c3", [(0, "user", "yo", None), (1, "assistant", "sup", None),
+                      (2, "tool", None, "tool_1")])  # same flow, different text
+    )
+    out = {r["conv_id"]: r for r in conversation_digests(spark.createDataFrame(rows)).collect()}
+    assert out["c1"]["text_digest"] == out["c2"]["text_digest"]
+    assert out["c1"]["text_digest"] != out["c3"]["text_digest"]
+    assert out["c1"]["flow_digest"] == out["c3"]["flow_digest"]
+    assert out["c1"]["n_same_text"] == 2 and out["c3"]["n_same_text"] == 1
+    assert out["c1"]["n_same_flow"] == 3
+    assert out["c2"]["keep_conv_id"] == "c1"

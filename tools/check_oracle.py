@@ -34,7 +34,9 @@ def norm(v):
 
 def rows_key(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    normed = (tuple(norm(r[i]) for i in order) for r in rows)
+    # null-safe sort: NULLs first within a column, never compared to values
+    return sorted(normed, key=lambda t: tuple((v is None, "" if v is None else v) for v in t))
 
 
 _DUCK2CANON = {
