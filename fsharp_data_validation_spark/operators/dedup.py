@@ -496,9 +496,14 @@ def near_dup_components(
     clusters are shallow (dups of a common source), so a handful of rounds;
     each round is one shuffle join edge⋈labels + an aggregation, with
     ``localCheckpoint`` truncating the growing lineage (iterative plans
-    otherwise re-plan from the root each round). For adversarial
-    billion-edge graphs swap in alternating large-star/small-star rounds
-    (O(log n)); the driver loop stays identical."""
+    otherwise re-plan from the root each round). The loop runs ONLY over
+    nodes that appear in some pair (graph nodes ≪ corpus — dup pairs are
+    the exception, not the rule); the corpus's singleton majority never
+    enters a round and is attached once at the end with label = self, so
+    per-round shuffle volume scales with the duplicate graph, not the
+    corpus. For adversarial billion-edge graphs swap in alternating
+    large-star/small-star rounds (O(log n)); the driver loop stays
+    identical."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold).select(
         "id_a", "id_b"
     )
@@ -509,7 +514,7 @@ def near_dup_components(
         .toDF("src", "dst")
         .persist()
     )
-    labels = df.select(F.col(id_col).alias("node")).distinct().withColumn(
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     labels = labels.localCheckpoint()
@@ -548,7 +553,17 @@ def near_dup_components(
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("component"))
+    # attach the singleton majority (docs in no pair): label = self, one
+    # left join against the (small) converged graph labels
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .distinct()
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("label"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def conversation_digests(
