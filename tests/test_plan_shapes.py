@@ -125,3 +125,51 @@ def test_drift_split_scans_data_once_plus_scalar_mid(spark, sf):
         n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
         assert n_scans == 2, f"expected 2 scans (data + scalar mid), got {n_scans}"
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stratified_sample_broadcasts_counts(spark, sf):
+    """The per-stratum count table must broadcast back (no shuffle of the
+    corpus for the join), and the rank window must run on the prefiltered
+    survivors, not the raw scan."""
+    from fsharp_data_validation_spark.operators.sampling import stratified_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    plan = _plan(stratified_sample(load_docs(spark, sf), "lang", "doc_id", 20))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the survivor filter must sit below the window sort
+    assert "Window" in plan and "Filter" in plan
+
+
+def test_time_rollup_single_shuffle(spark, sf):
+    """ROLLUP = one Expand feeding ONE partial+final hash aggregate: exactly
+    one Exchange in the plan (plus the scan), never one shuffle per grain."""
+    from fsharp_data_validation_spark.operators.temporal import time_rollup
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    plan = _plan(time_rollup(ev, "ts", "event_type", "value"))
+    assert "Expand" in plan
+    # formatted explain prints each node twice (tree + details); count the
+    # tree entries only
+    assert plan.count("Exchange (") == 1
+    assert "HashAggregate" in plan
+
+
+def test_conv_dedup_single_corpus_shuffle(spark, sf):
+    """Conversation digests: the corpus is shuffled once (on conv_id for
+    assembly); the digest windows run over the one-row-per-conversation
+    table, so every later Exchange moves only per-conv digests."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_conv_dedup(spark, sf))
+    # assembly agg + two digest windows: bounded number of exchanges, and
+    # the plan must not re-scan or re-shuffle the turn-level table again
+    n_scans = len(
+        [
+            l
+            for l in plan.splitlines()
+            if l.strip().startswith("(") and "Scan parquet" in l
+        ]
+    )
+    assert n_scans == 1
+    assert plan.count("Exchange (") <= 4
