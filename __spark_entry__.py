@@ -722,6 +722,38 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: clicks landing in the hour after each purchase
+    by the same user (equi-join on (user, time-bucket) + containment filter
+    — never Spark's BroadcastNestedLoopJoin; operators/temporal.py:
+    interval_join). Left join keeps zero-click purchases."""
+    from fsharp_data_validation_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.timestamp_micros(F.unix_micros(F.col("ts").cast("timestamp")) + 3600 * 1_000_000)).alias(
+            "end_ts"
+        ),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    pairs = interval_join(
+        clicks, purchases, by=["user_id"], point_ts="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+    )
+    per_purchase = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_1h")
+    )
+    return purchases.join(per_purchase, "purchase_id", "left").select(
+        "purchase_id",
+        F.coalesce(F.col("n_clicks_1h"), F.lit(0)).cast("bigint").alias("n_clicks_1h"),
+    )
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-granularity rollup over events: (day, type), (day) and grand
     total in ONE shuffle via GROUP BY ROLLUP (Expand + single partial+final
@@ -788,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax": q_minmax,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
         "time_rollup": q_time_rollup,
         "stratified_sample": q_stratified_sample,
         "conv_dedup": q_conv_dedup,
@@ -1327,6 +1360,17 @@ def oracle_sql() -> dict[str, str]:
                    date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
             FROM s GROUP BY user_id, session_no
             """
+        ),
+        # independent spec: a plain correlated BETWEEN join — the obviously-
+        # correct O(n*m) form the bucketed operator must reproduce exactly
+        "interval_join": (
+            "SELECT p.event_id AS purchase_id, "
+            "CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h "
+            "FROM events p LEFT JOIN events c "
+            "  ON c.user_id = p.user_id AND c.event_type = 'click' "
+            "  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR "
+            "WHERE p.event_type = 'purchase' "
+            "GROUP BY p.event_id"
         ),
         "time_rollup": (
             "SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), '(all)') AS day, "

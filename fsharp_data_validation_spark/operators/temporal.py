@@ -95,6 +95,51 @@ def asof_join(
     return out
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: Sequence[str],
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Range join: every (point, interval) pair of the same ``by`` key with
+    ``start <= point_ts <= end`` (inclusive both ends). Spark's native plan
+    for a range predicate is BroadcastNestedLoopJoin — O(|points| x
+    |intervals|) per key, unusable at scale. Instead the classic bucketed
+    decomposition: each interval explodes to the fixed-width time buckets
+    it covers (``sequence`` over bucket ids — amplification = interval
+    length / bucket width, bounded for bounded intervals), each point maps
+    to exactly ONE bucket, and the join becomes an equi-join on
+    (key…, bucket) + an exact containment filter. One shuffle each side,
+    hash join, no row explosion beyond the interval/bucket replication.
+    Pick ``bucket_seconds`` ≈ the typical interval length: shorter buckets
+    amplify intervals, longer buckets fatten candidate lists.
+
+    ``points`` and ``intervals`` must not share column names other than
+    ``by`` (the containment filter references ``point_ts``/``start_col``/
+    ``end_col`` unqualified).
+    """
+    by = list(by)
+    w_us = F.lit(int(bucket_seconds) * 1_000_000)
+    ib = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(_micros(F.col(start_col)) / w_us),
+                F.floor(_micros(F.col(end_col)) / w_us),
+            )
+        ),
+    )
+    pb = points.withColumn("_b", F.floor(_micros(F.col(point_ts)) / w_us))
+    matched = pb.join(ib, by + ["_b"]).filter(
+        (_micros(F.col(point_ts)) >= _micros(F.col(start_col)))
+        & (_micros(F.col(point_ts)) <= _micros(F.col(end_col)))
+    )
+    return matched.drop("_b")
+
+
 def time_rollup(
     df: DataFrame,
     ts_col: str = "ts",

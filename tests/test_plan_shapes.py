@@ -173,3 +173,16 @@ def test_conv_dedup_single_corpus_shuffle(spark, sf):
     )
     assert n_scans == 1
     assert plan.count("Exchange (") <= 4
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark, sf):
+    """The bucketed range join must compile to a hash equi-join on
+    (key, bucket) — never BroadcastNestedLoopJoin (Spark's native plan
+    for a bare range predicate)."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.q_interval_join(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )

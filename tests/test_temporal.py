@@ -82,3 +82,33 @@ def test_sessionize_boundaries(spark):
     assert out[(7, 2)] == (2, ts(221), ts(341), 120_000_000)
     assert out[(8, 1)] == (1, ts(50), ts(50), 0)
     assert len(out) == 3
+
+
+def test_interval_join_bounds_buckets_and_keys(spark):
+    """Pins: inclusive start AND end, intervals spanning multiple buckets,
+    points outside every interval dropped, key isolation, duplicate match
+    when intervals overlap."""
+    from pyspark.sql import Row
+    from fsharp_data_validation_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [
+            Row(pid=1, k="a", ts=ts(0)),      # == start (inclusive)
+            Row(pid=2, k="a", ts=ts(7200)),   # == end, 2 buckets later
+            Row(pid=3, k="a", ts=ts(7201)),   # 1s past end -> no match
+            Row(pid=4, k="b", ts=ts(10)),     # right time, wrong key
+            Row(pid=5, k="a", ts=ts(3600)),   # mid-interval, bucket boundary
+        ]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(iid=100, k="a", start_ts=ts(0), end_ts=ts(7200)),
+            Row(iid=101, k="a", start_ts=ts(3600), end_ts=ts(3700)),  # overlap
+        ]
+    )
+    out = interval_join(
+        points, intervals, by=["k"], point_ts="ts",
+        start_col="start_ts", end_col="end_ts", bucket_seconds=3600,
+    )
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (5, 100), (5, 101)]
