@@ -484,6 +484,7 @@ def near_dup_components(
     n: int = 3,
     threshold: float = 0.8,
     max_iter: int = 20,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components of the near-dup pair graph — the clustering
     step of corpus dedup (pick one representative per near-dup cluster).
@@ -501,12 +502,28 @@ def near_dup_components(
     the exception, not the rule); the corpus's singleton majority never
     enters a round and is attached once at the end with label = self, so
     per-round shuffle volume scales with the duplicate graph, not the
-    corpus. For adversarial billion-edge graphs swap in alternating
-    large-star/small-star rounds (O(log n)); the driver loop stays
-    identical."""
+    corpus. For adversarial graph shapes (long chains, huge diameters)
+    pass ``algorithm="star"`` to use alternating large-star/small-star
+    rounds (``connected_components_star`` — O(log^2 n) rounds on any
+    shape); propagation stays the default because near-dup clusters are
+    shallow and its per-round constant is smaller."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold).select(
         "id_a", "id_b"
     )
+    if algorithm == "star":
+        comp = connected_components_star(
+            pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")),
+            max_iter=max_iter,
+        ).withColumnRenamed("node", "_n")
+        return (
+            df.select(F.col(id_col).alias("_n").cast("long"))
+            .distinct()
+            .join(comp, "_n", "left")
+            .select(
+                F.col("_n").alias(id_col),
+                F.coalesce(F.col("component"), F.col("_n")).alias("component"),
+            )
+        )
     sym = (
         pairs.union(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -612,3 +629,64 @@ def conversation_digests(
         F.count(F.lit(1)).over(wf).cast("bigint").alias("n_same_flow"),
         F.min(conv_col).over(wt).alias("keep_conv_id"),
     )
+
+
+def _dedup_edges(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") — the
+    adversarial-graph alternative to plain min-label propagation: converges
+    in O(log^2 n) rounds on ANY graph shape (a length-L chain takes ~log L
+    rounds instead of L), with per-round cost one groupBy-min + one join —
+    never a per-node neighbor list (no collect_set, hot nodes stay safe).
+
+    ``edges``: (u, v) pairs, any orientation, self-loops/dups tolerated.
+    Returns (node, component) for every node appearing in some edge, where
+    component = min node id of the connected component.
+    """
+    e = _dedup_edges(edges.select(F.col("u").cast("long"), F.col("v").cast("long")))
+    e = e.localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: connect every strictly-larger neighbor of u to
+        # m = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        lm = F.least(F.col("mv"), F.col("u"))
+        e = _dedup_edges(
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), lm.alias("v"))
+        )
+        # small-star: orient edges toward the greater end; connect every
+        # smaller neighbor (and u itself) to the minimum
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smins = oriented.groupBy("u").agg(F.min("v").alias("mv"))
+        e = _dedup_edges(
+            oriented.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("mv").alias("v"))
+            .union(smins.select("u", F.col("mv").alias("v")))
+        ).localCheckpoint()
+        # convergence witness: (count, xor of edge hashes) — stable set <=>
+        # fixpoint (xor is order-independent, never overflows under ANSI,
+        # and two DIFFERENT sets of equal count collide only with ~2^-64
+        # probability; witness only, never part of the output)
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(u, v))")
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged edge set is a star forest: (node -> root). Roots label
+    # themselves.
+    nodes = e.select(F.col("u").alias("node"), F.col("v").alias("label")).union(
+        e.select(F.col("v").alias("node"), F.col("v").alias("label"))
+    )
+    return nodes.groupBy("node").agg(F.min("label").alias("component"))

@@ -176,3 +176,23 @@ def run_stream_to_parquet(
     else:
         q = writer.start()
     return q
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    id_cols: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``id_cols`` were already seen
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` — the
+    state store keeps one entry per key and EVICTS it once the watermark
+    passes, so state is bounded by the duplicate-arrival window, not the
+    stream's lifetime; plain ``dropDuplicates`` on a stream would grow state
+    forever). For content dedup, pre-compute a digest column (e.g.
+    ``F.md5(text)``) and pass it as the key — state then stores 32-byte
+    digests, never documents.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )

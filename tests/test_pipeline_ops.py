@@ -405,3 +405,39 @@ def test_conversation_digests_dup_and_flow(spark):
     assert out["c1"]["n_same_text"] == 2 and out["c3"]["n_same_text"] == 1
     assert out["c1"]["n_same_flow"] == 3
     assert out["c2"]["keep_conv_id"] == "c1"
+
+
+def test_star_components_equal_propagation_and_handle_chains(spark):
+    """large-star/small-star CC must agree with the doc-level propagation
+    result on the near-dup graph, and converge on a long chain (diameter
+    1000) in logarithmic rounds where plain propagation would need 1000."""
+    from fsharp_data_validation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # long chain 0-1-2-...-1000 plus two small cliques
+    chain = [(i, i + 1) for i in range(1000)]
+    cliques = [(2000, 2001), (2001, 2002), (3000, 3001)]
+    edges = spark.createDataFrame(chain + cliques, ["u", "v"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges, max_iter=12).collect()
+    }
+    assert all(got[i] == 0 for i in range(1001))
+    assert got[2000] == got[2001] == got[2002] == 2000
+    assert got[3000] == got[3001] == 3000
+
+    # star-backed near_dup_components must equal the propagation default
+    from fsharp_data_validation_spark.operators.dedup import near_dup_components
+
+    docs = _docs(spark)
+    prop = sorted(map(tuple, near_dup_components(docs, "doc_id", "text", 3, 0.5).collect()))
+    star = sorted(
+        map(
+            tuple,
+            near_dup_components(
+                docs, "doc_id", "text", 3, 0.5, algorithm="star"
+            ).collect(),
+        )
+    )
+    assert prop == star

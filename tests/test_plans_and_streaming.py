@@ -389,3 +389,53 @@ def test_manifest_emit_valid(spark, tmp_path):
     valid = spark.read.parquet(os.path.join(out, "valid"))
     keys = {(r["conv_id"], r["turn_idx"]): r["text"] for r in valid.collect()}
     assert keys == {("c1", 0): "hi", ("c3", 0): "ok"}  # failing rows gated
+
+
+def test_stream_dedup_drops_watermark_window_duplicates(spark, tmp_path):
+    """Streaming content dedup: duplicate digests arriving within the
+    watermark horizon are dropped; state is watermark-evicted (plan shows
+    the within-watermark dedup operator, not unbounded dropDuplicates)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+    from fsharp_data_validation_spark.streaming.validate_stream import stream_dedup
+    from datetime import datetime
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "alpha", t0),
+        (2, "alpha", t0),   # duplicate content, same window -> dropped
+        (3, "beta", t0),
+        (4, "beta", t0),
+        (5, "gamma", t0),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup(
+        stream.withColumn("digest", F.md5("text")), ["digest"], "ts", "10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("select * from dedup_out").collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["alpha", "beta", "gamma"]  # one survivor per digest
