@@ -785,6 +785,25 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing of transcript text (emails/digit runs replaced,
+    per-row audit counts) — pure regexp column expressions
+    (operators/text.py:redact_pii)."""
+    from fsharp_data_validation_spark.operators.text import redact_pii
+
+    return redact_pii(_transcripts(spark, sf_dir), ["conv_id", "turn_idx"], "text")
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-bigram ratio per document (boilerplate/template quality
+    signal) — row-local array expressions, no shuffle
+    (operators/text.py:repetition_score)."""
+    from fsharp_data_validation_spark.operators.text import repetition_score
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return repetition_score(load_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level dedup digests over the transcripts: full-text
     digest + role|tool flow digest, per-digest group sizes, canonical
@@ -824,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "stratified_sample": q_stratified_sample,
         "conv_dedup": q_conv_dedup,
+        "redact_pii": q_redact_pii,
+        "repetition": q_repetition,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1391,6 +1412,31 @@ def oracle_sql() -> dict[str, str]:
             "    doc_id) AS rnk"
             "  FROM docs"
             ") WHERE rnk <= 20"
+        ),
+        "redact_pii": with_transcripts(
+            "SELECT conv_id, turn_idx, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            "'[0-9]+', '<NUM>', 'g') AS clean_text, "
+            "CAST(COALESCE(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')), 0) AS BIGINT) AS n_emails, "
+            "CAST(COALESCE(len(regexp_extract_all(text, '[0-9]+')), 0) AS BIGINT) AS n_nums "
+            "FROM transcripts"
+        ),
+        "repetition": with_docs(
+            "SELECT doc_id, "
+            "CAST(len(g) AS BIGINT) AS n_grams, "
+            "CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct, "
+            "ROUND(CASE WHEN len(g) = 0 THEN 0.0 "
+            "      ELSE 1.0 - len(list_distinct(g)) * 1.0 / len(g) END, 4) AS rep_ratio "
+            "FROM ("
+            "  SELECT doc_id, "
+            "    CASE WHEN len(w) >= 2 "
+            "         THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))] "
+            "         ELSE [] END AS g "
+            "  FROM (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "        x -> length(x) > 0) AS w FROM docs)"
+            ")"
         ),
         "conv_dedup": with_transcripts(
             "SELECT conv_id, text_digest, flow_digest, "

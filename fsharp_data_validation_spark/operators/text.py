@@ -80,3 +80,70 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.array_sort(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))), " "
     )
     return df.select(F.col(id_col), F.md5(canon).alias("fp"))
+
+
+# portable (Java regex + RE2) patterns — keep to the common syntax subset
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+NUM_RE = "[0-9]+"
+
+
+def redact_pii(
+    df: DataFrame, id_cols, text_col: str = "text"
+) -> DataFrame:
+    """PII-style scrubbing for training corpora: emails -> ``<EMAIL>``,
+    digit runs -> ``<NUM>``, with per-row match counts (the audit trail a
+    scrub job reports). Pure ``regexp_replace``/``regexp_count`` column
+    expressions — JVM regex, whole-stage codegen, zero Python; patterns
+    restricted to the Java-regex ∩ RE2 syntax subset so the DuckDB oracle
+    runs them verbatim. NULL text stays NULL (counts 0)."""
+    ids = [id_cols] if isinstance(id_cols, str) else list(id_cols)
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), NUM_RE, "<NUM>"
+    )
+    return df.select(
+        *ids,
+        clean.alias("clean_text"),
+        F.coalesce(F.regexp_count(t, F.lit(EMAIL_RE)), F.lit(0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.coalesce(F.regexp_count(t, F.lit(NUM_RE)), F.lit(0))
+        .cast("bigint")
+        .alias("n_nums"),
+    )
+
+
+def repetition_score(
+    df: DataFrame, id_col: str, text_col: str = "text", round_to: int = 4
+) -> DataFrame:
+    """Repeated-bigram ratio — the standard template/boilerplate quality
+    signal (1 - distinct bigrams / total bigrams; 0 = no repetition).
+    Row-local array expressions (split -> indexed transform -> distinct):
+    no explode, no shuffle, embarrassingly parallel. The indexed-transform
+    lambda is interpreted (see BENCH.md HOF note) but runs once per DOC on
+    a words array, not per token via explode+agg — for a per-doc score the
+    row-local form wins because nothing needs aggregating."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    grams = F.when(
+        F.size(F.col("_w")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = F.col("_g")
+    return (
+        df.select(F.col(id_col), words.alias("_w"))
+        .select(F.col(id_col), grams.alias("_g"))
+        .select(
+            F.col(id_col),
+            F.size(g).cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct(g)).cast("bigint").alias("n_distinct"),
+            F.round(
+                F.when(F.size(g) == 0, F.lit(0.0)).otherwise(
+                    1.0 - F.size(F.array_distinct(g)) / F.size(g)
+                ),
+                round_to,
+            ).alias("rep_ratio"),
+        )
+    )

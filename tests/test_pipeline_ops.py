@@ -441,3 +441,33 @@ def test_star_components_equal_propagation_and_handle_chains(spark):
         )
     )
     assert prop == star
+
+
+def test_redact_pii_and_repetition_edges(spark):
+    """Pins: email + number redaction with counts, NULL text passthrough,
+    empty/1-word texts score 0 repetition, fully-repeated text scores
+    (n-1)/n duplicated bigrams."""
+    from fsharp_data_validation_spark.operators.text import (
+        redact_pii,
+        repetition_score,
+    )
+
+    rows = [
+        Row(id=1, text="mail a@b.co and 12345 or 6"),
+        Row(id=2, text=None),
+        Row(id=3, text=""),
+        Row(id=4, text="x x x x x"),      # 4 bigrams, 1 distinct
+        Row(id=5, text="one"),
+    ]
+    df = spark.createDataFrame(rows)
+    red = {r["id"]: r for r in redact_pii(df, "id", "text").collect()}
+    assert red[1]["clean_text"] == "mail <EMAIL> and <NUM> or <NUM>"
+    assert red[1]["n_emails"] == 1 and red[1]["n_nums"] == 2
+    assert red[2]["clean_text"] is None and red[2]["n_nums"] == 0
+
+    rep = {r["id"]: r for r in repetition_score(df, "id", "text").collect()}
+    assert rep[4]["n_grams"] == 4 and rep[4]["n_distinct"] == 1
+    assert rep[4]["rep_ratio"] == 0.75
+    assert rep[3]["n_grams"] == 0 and rep[3]["rep_ratio"] == 0.0
+    assert rep[5]["n_grams"] == 0
+    assert rep[2]["n_grams"] == 0  # NULL text -> empty gram array
