@@ -804,6 +804,17 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(load_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline: language + token-length + alpha-ratio
+    gates (one projection, scan-stage filters), exact-dedup keep-first
+    (one digest shuffle), deterministic hash split
+    (operators/text.py:curate_corpus)."""
+    from fsharp_data_validation_spark.operators.text import curate_corpus
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return curate_corpus(load_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversation-level dedup digests over the transcripts: full-text
     digest + role|tool flow digest, per-digest group sizes, canonical
@@ -845,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_dedup": q_conv_dedup,
         "redact_pii": q_redact_pii,
         "repetition": q_repetition,
+        "corpus_curate": q_corpus_curate,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1422,6 +1434,20 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')), 0) AS BIGINT) AS n_emails, "
             "CAST(COALESCE(len(regexp_extract_all(text, '[0-9]+')), 0) AS BIGINT) AS n_nums "
             "FROM transcripts"
+        ),
+        "corpus_curate": with_docs(
+            "SELECT doc_id, "
+            "CASE WHEN CAST(('0x' || substr(md5('split' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "     % 100 < 90 THEN 'train' ELSE 'test' END AS split "
+            "FROM ("
+            "  SELECT doc_id, "
+            "    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn "
+            "  FROM docs "
+            "  WHERE lang = 'en' "
+            "    AND len(string_split(text, ' ')) BETWEEN 10 AND 500 "
+            "    AND length(regexp_replace(text, '[^a-z]', '', 'g')) * 1.0 "
+            "        / length(text) >= 0.5"
+            ") k WHERE rn = 1"
         ),
         "repetition": with_docs(
             "SELECT doc_id, "

@@ -147,3 +147,45 @@ def repetition_score(
             ).alias("rep_ratio"),
         )
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 500,
+    min_alpha: float = 0.5,
+    train_pct: int = 90,
+) -> DataFrame:
+    """End-to-end corpus curation — the composed pipeline a training-data
+    user actually runs: language filter + token-length bounds + alpha-ratio
+    quality gate (all row-local predicates in ONE projection, evaluated in
+    the scan stage), exact-dedup keep-first (ONE shuffle, on the content
+    digest), then the deterministic hash train/test split (row-local).
+    Returns (id, split) for surviving docs. Total plan: one scan + one
+    shuffle regardless of how many filters compose — the point of
+    expressing curation as Column predicates instead of chained
+    materialized stages."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_split
+
+    words = F.split(F.col(text_col), " ")
+    n_tokens = F.size(words)
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^a-z]", ""))
+    alpha_ratio = alpha.cast("double") / F.length(text_col)
+    kept = df.filter(
+        (F.col(lang_col) == lang)
+        & n_tokens.between(min_tokens, max_tokens)
+        & (alpha_ratio >= min_alpha)
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    first = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return hash_split(first, id_col, train_pct).select(id_col, "split")

@@ -186,3 +186,25 @@ def test_interval_join_is_hash_join_not_nested_loop(spark, sf):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_corpus_curate_one_scan_one_shuffle(spark, sf):
+    """The composed curation pipeline (lang + length + quality filters,
+    dedup keep-first, hash split) must stay ONE scan + ONE Exchange — the
+    filters fuse into the scan stage, the digest window is the only
+    shuffle, the split is row-local. (Run on the raw parquet: the driver
+    query's `docs` CTE adds a 3-way union of injected duplicates, which
+    triples scans for test-data reasons, not operator reasons.)"""
+    from fsharp_data_validation_spark.operators.text import curate_corpus
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = _plan(curate_corpus(docs, "doc_id", "text"))
+    n_scans = len(
+        [
+            l
+            for l in plan.splitlines()
+            if l.strip().startswith("(") and "Scan parquet" in l
+        ]
+    )
+    assert n_scans == 1
+    assert plan.count("Exchange (") == 1
