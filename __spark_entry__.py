@@ -804,6 +804,41 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_score(load_docs(spark, sf_dir), "doc_id", "text")
 
 
+def _corpus_split(spark: SparkSession, sf_dir: str):
+    """Deterministic train/eval corpus split for the decontamination
+    queries: eval = doc_id % 10 == 3 (same predicate in the oracles)."""
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    docs = load_docs(spark, sf_dir)
+    return docs.filter(F.col("doc_id") % 10 != 3), docs.filter(
+        F.col("doc_id") % 10 == 3
+    )
+
+
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: eval docs that are near-duplicates (3-gram Jaccard
+    >= 0.8) of a training doc — prefix-filtered cross-corpus inverted-index
+    join (operators/contamination.py)."""
+    from fsharp_data_validation_spark.operators.contamination import (
+        cross_contamination_pairs,
+    )
+
+    tr, ev = _corpus_split(spark, sf_dir)
+    return cross_contamination_pairs(tr, ev, "doc_id", "text", 3, 0.8)
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: per eval doc, fraction of its distinct 3-grams that
+    appear anywhere in the training corpus
+    (operators/contamination.py:ngram_containment)."""
+    from fsharp_data_validation_spark.operators.contamination import (
+        ngram_containment,
+    )
+
+    tr, ev = _corpus_split(spark, sf_dir)
+    return ngram_containment(tr, ev, "doc_id", "text", 3)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: language + token-length + alpha-ratio
     gates (one projection, scan-stage filters), exact-dedup keep-first
@@ -857,6 +892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "repetition": q_repetition,
         "corpus_curate": q_corpus_curate,
+        "contamination_pairs": q_contamination_pairs,
+        "ngram_containment": q_ngram_containment,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1434,6 +1471,49 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')), 0) AS BIGINT) AS n_emails, "
             "CAST(COALESCE(len(regexp_extract_all(text, '[0-9]+')), 0) AS BIGINT) AS n_nums "
             "FROM transcripts"
+        ),
+        # independent spec: naive all-pairs cross-corpus Jaccard (the
+        # obviously-correct O(n*m) form the prefix-filtered join must equal)
+        "contamination_pairs": with_docs(
+            """
+            , d AS (
+              SELECT doc_id,
+                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w) - 1)]) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+              WHERE len(w) >= 3
+            )
+            SELECT train_id, eval_id, sim FROM (
+              SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+                     ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 /
+                           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS sim
+              FROM d a JOIN d b
+                ON a.doc_id % 10 != 3 AND b.doc_id % 10 = 3
+            ) p WHERE sim >= 0.8
+            """
+        ),
+        "ngram_containment": with_docs(
+            """
+            , tg AS (
+              SELECT DISTINCT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)]) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs
+                    WHERE doc_id % 10 != 3)
+              WHERE len(w) >= 3
+            ), eg AS (
+              SELECT doc_id,
+                     unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                           for i in range(1, len(w) - 1)])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs
+                    WHERE doc_id % 10 = 3)
+              WHERE len(w) >= 3
+            )
+            SELECT eg.doc_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(tg.g) AS BIGINT) AS n_hit,
+                   ROUND(COUNT(tg.g) * 1.0 / COUNT(*), 4) AS containment
+            FROM eg LEFT JOIN tg ON eg.g = tg.g
+            GROUP BY eg.doc_id
+            """
         ),
         "corpus_curate": with_docs(
             "SELECT doc_id, "

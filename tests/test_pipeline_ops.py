@@ -471,3 +471,46 @@ def test_redact_pii_and_repetition_edges(spark):
     assert rep[3]["n_grams"] == 0 and rep[3]["rep_ratio"] == 0.0
     assert rep[5]["n_grams"] == 0
     assert rep[2]["n_grams"] == 0  # NULL text -> empty gram array
+
+
+def test_contamination_cross_corpus_only(spark):
+    """Decontamination: cross-corpus near-dups are reported, within-corpus
+    dups are NOT; containment is 1.0 for a leaked doc, 0.0 for a fresh one,
+    partial for a half-overlapping one."""
+    from fsharp_data_validation_spark.operators.contamination import (
+        cross_contamination_pairs,
+        ngram_containment,
+    )
+
+    leaked = "alpha beta gamma delta epsilon zeta eta theta"
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=leaked),
+            Row(doc_id=2, text=leaked),  # within-train dup: must NOT appear
+            Row(doc_id=3, text="one two three four five six seven eight"),
+        ]
+    )
+    ev = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=leaked),                      # exact leak
+            Row(doc_id=101, text="totally fresh eval words here now ok"),
+            Row(doc_id=102, text="alpha beta gamma delta nine ten"),  # partial
+        ]
+    )
+    pairs = {
+        (r["train_id"], r["eval_id"]): r["sim"]
+        for r in cross_contamination_pairs(train, ev, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert (1, 100) in pairs and pairs[(1, 100)] == 1.0
+    assert (2, 100) in pairs
+    assert all(t in (1, 2, 3) and e in (100, 101, 102) for t, e in pairs)
+
+    cont = {
+        r["eval_id"]: r for r in ngram_containment(train, ev, "doc_id", "text", 3).collect()
+    }
+    assert cont[100]["containment"] == 1.0
+    assert cont[101]["containment"] == 0.0
+    # doc 102: 4 trigrams, 2 present in train ("alpha beta gamma",
+    # "beta gamma delta")
+    assert cont[102]["n_grams"] == 4 and cont[102]["n_hit"] == 2
+    assert cont[102]["containment"] == 0.5
