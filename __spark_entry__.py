@@ -40,6 +40,7 @@ from fsharp_data_validation_spark.sources.transcripts import (
     ROLES,
     derive_transcripts,
     tool_catalog,
+    transcripts_cte,
     with_transcripts,
 )
 
@@ -839,6 +840,16 @@ def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment(tr, ev, "doc_id", "text", 3)
 
 
+def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing of conversation turns into <=64-token
+    chunks — custom stateful operator via Arrow applyInPandas, checked
+    against an independent recursive-CTE spec
+    (operators/text.py:pack_context_windows)."""
+    from fsharp_data_validation_spark.operators.text import pack_context_windows
+
+    return pack_context_windows(_transcripts(spark, sf_dir), "conv_id", "turn_idx", "text", 64)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: language + token-length + alpha-ratio
     gates (one projection, scan-stage filters), exact-dedup keep-first
@@ -894,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curate": q_corpus_curate,
         "contamination_pairs": q_contamination_pairs,
         "ngram_containment": q_ngram_containment,
+        "pack_windows": q_pack_windows,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1471,6 +1483,34 @@ def oracle_sql() -> dict[str, str]:
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')), 0) AS BIGINT) AS n_emails, "
             "CAST(COALESCE(len(regexp_extract_all(text, '[0-9]+')), 0) AS BIGINT) AS n_nums "
             "FROM transcripts"
+        ),
+        # independent spec of the greedy packing recurrence: row-at-a-time
+        # recursive CTE (DuckDB-only; WITH RECURSIVE can't be composed via
+        # with_transcripts, so the transcripts CTE is inlined)
+        "pack_windows": (
+            "WITH RECURSIVE transcripts AS ("
+            + transcripts_cte()
+            + "), t AS ("
+            "  SELECT conv_id, turn_idx, "
+            "    CASE WHEN text IS NULL THEN 0 "
+            "         ELSE len(string_split(text, ' ')) END AS n_tokens, "
+            "    ROW_NUMBER() OVER (PARTITION BY conv_id "
+            "                       ORDER BY turn_idx, coalesce(text, '')) AS rn "
+            "  FROM transcripts"
+            "), r AS ("
+            "  SELECT conv_id, rn, turn_idx, n_tokens, 1 AS chunk_id, "
+            "         n_tokens AS acc FROM t WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT t.conv_id, t.rn, t.turn_idx, t.n_tokens, "
+            "    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > 64 "
+            "         THEN r.chunk_id + 1 ELSE r.chunk_id END, "
+            "    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > 64 "
+            "         THEN t.n_tokens ELSE r.acc + t.n_tokens END "
+            "  FROM r JOIN t ON t.conv_id = r.conv_id AND t.rn = r.rn + 1"
+            ") "
+            "SELECT conv_id, CAST(rn AS BIGINT) AS rn, turn_idx, "
+            "  CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "  CAST(chunk_id AS BIGINT) AS chunk_id FROM r"
         ),
         # independent spec: naive all-pairs cross-corpus Jaccard (the
         # obviously-correct O(n*m) form the prefix-filtered join must equal)

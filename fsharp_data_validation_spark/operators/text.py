@@ -189,3 +189,73 @@ def curate_corpus(
         .drop("_rn")
     )
     return hash_split(first, id_col, train_pct).select(id_col, "split")
+
+
+def pack_context_windows(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    budget: int = 64,
+) -> DataFrame:
+    """Greedy context-window packing — assign each conversation turn to a
+    training chunk so chunks never exceed ``budget`` whitespace tokens
+    (an over-budget single turn still gets its own chunk). Returns
+    (conv, rn, turn_idx, n_tokens, chunk_id) with ``rn`` the stable 1-based
+    position (ordered by (turn_idx, text) — deterministic under injected
+    duplicate turn indexes) and ``chunk_id`` numbered 1.. per conversation.
+
+    Greedy packing is inherently sequential per conversation (each boundary
+    depends on the previous one), so this is a custom stateful operator:
+    ``applyInPandas`` groups by conversation (ONE shuffle; zero on a
+    conv_id-bucketed layout), Arrow moves each group as columnar batches,
+    and the per-group loop runs over a conversation's ~tens of turns —
+    bounded state, never corpus-scale. The DuckDB oracle is an independent
+    recursive-CTE spec of the same recurrence.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            df.schema[conv_col],
+            StructField("rn", LongType()),
+            df.schema[order_col],
+            StructField("n_tokens", LongType()),
+            StructField("chunk_id", LongType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = pdf[text_col].fillna("")
+        pdf = (
+            pdf.assign(_t=t, _n=t.map(lambda s: len(s.split(" ")) if s != "" else 1))
+            .sort_values([order_col, "_t"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        # NULL text counts 0 tokens (len(string_split(NULL)) is NULL -> 0
+        # in the oracle); '' counts 1 (one empty token) on both engines
+        pdf.loc[pdf[text_col].isna(), "_n"] = 0
+        chunk, acc, chunks = 1, 0, []
+        for n in pdf["_n"]:
+            if acc > 0 and acc + n > budget:
+                chunk, acc = chunk + 1, int(n)
+            else:
+                acc += int(n)
+            chunks.append(chunk)
+        return pd.DataFrame(
+            {
+                conv_col: pdf[conv_col],
+                "rn": range(1, len(pdf) + 1),
+                order_col: pdf[order_col],
+                "n_tokens": pdf["_n"].astype("int64"),
+                "chunk_id": chunks,
+            }
+        )
+
+    return df.groupBy(conv_col).applyInPandas(pack, out_schema)

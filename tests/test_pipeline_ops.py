@@ -514,3 +514,37 @@ def test_contamination_cross_corpus_only(spark):
     # "beta gamma delta")
     assert cont[102]["n_grams"] == 4 and cont[102]["n_hit"] == 2
     assert cont[102]["containment"] == 0.5
+
+
+def test_pack_context_windows_greedy(spark):
+    """Pins the greedy packing recurrence: chunks never exceed the budget
+    except a single over-budget turn, which still opens its own chunk;
+    NULL text counts 0 tokens, '' counts 1; rn is stable 1-based order."""
+    from fsharp_data_validation_spark.operators.text import pack_context_windows
+
+    rows = [
+        # c1: 3+3+3 tokens at budget 6 -> chunks [1, 1, 2]
+        Row(conv_id="c1", turn_idx=0, text="a b c"),
+        Row(conv_id="c1", turn_idx=1, text="d e f"),
+        Row(conv_id="c1", turn_idx=2, text="g h i"),
+        # c2: over-budget single turn opens chunk 1; next turn opens chunk 2
+        Row(conv_id="c2", turn_idx=0, text="t1 t2 t3 t4 t5 t6 t7 t8"),
+        Row(conv_id="c2", turn_idx=1, text="x"),
+        # c3: NULL is 0 tokens (packs with anything), '' is 1 token
+        Row(conv_id="c3", turn_idx=0, text=None),
+        Row(conv_id="c3", turn_idx=1, text=""),
+        Row(conv_id="c3", turn_idx=2, text="p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r["conv_id"], r["rn"]): r
+        for r in pack_context_windows(df, "conv_id", "turn_idx", "text", 6).collect()
+    }
+    assert [out[("c1", i)]["chunk_id"] for i in (1, 2, 3)] == [1, 1, 2]
+    assert out[("c2", 1)]["n_tokens"] == 8 and out[("c2", 1)]["chunk_id"] == 1
+    assert out[("c2", 2)]["chunk_id"] == 2
+    # c3: 0 + 1 = 1 <= 6 so first two pack together; 1 + 6 > 6 -> new chunk
+    assert out[("c3", 1)]["n_tokens"] == 0
+    assert out[("c3", 2)]["n_tokens"] == 1
+    assert [out[("c3", i)]["chunk_id"] for i in (1, 2, 3)] == [1, 1, 2]
+    assert all(r["turn_idx"] == r["rn"] - 1 for r in out.values())
