@@ -850,6 +850,16 @@ def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_context_windows(_transcripts(spark, sf_dir), "conv_id", "turn_idx", "text", 64)
 
 
+def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (width 16, stride 8) over the docs
+    corpus — row-local sequence+posexplode+slice, zero shuffle
+    (operators/text.py:chunk_text)."""
+    from fsharp_data_validation_spark.operators.text import chunk_text
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return chunk_text(load_docs(spark, sf_dir), "doc_id", "text", 16, 8)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline: language + token-length + alpha-ratio
     gates (one projection, scan-stage filters), exact-dedup keep-first
@@ -906,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_pairs": q_contamination_pairs,
         "ngram_containment": q_ngram_containment,
         "pack_windows": q_pack_windows,
+        "chunk_text": q_chunk_text,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1650,6 +1661,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_lsh": with_docs(_JACCARD_ORACLE),
         "simhash": with_docs(_SIMHASH_ORACLE),
+        # independent spec of sliding-window chunking: DuckDB 1-based
+        # inclusive list slices over unnested start offsets (width 16,
+        # stride 8; docs with NULL text yield no chunks on both engines)
+        "chunk_text": with_docs(
+            ", t AS ("
+            "  SELECT doc_id, string_split(text, ' ') AS toks, "
+            "         len(string_split(text, ' ')) AS n "
+            "  FROM docs WHERE text IS NOT NULL"
+            "), c AS ("
+            "  SELECT doc_id, toks, n, "
+            "    CASE WHEN n <= 16 THEN 1 "
+            "         ELSE CAST(ceil((n - 16) / 8.0) AS BIGINT) + 1 END AS n_chunks "
+            "  FROM t"
+            "), s AS ("
+            "  SELECT doc_id, toks, n, unnest(range(n_chunks)) AS i FROM c"
+            ") "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "  CAST(i * 8 AS BIGINT) AS start_tok, "
+            "  CAST(len(toks[(CAST(i AS BIGINT) * 8 + 1):least(CAST(i AS BIGINT) * 8 + 16, n)]) AS BIGINT) AS n_chunk_tokens, "
+            "  array_to_string(toks[(CAST(i AS BIGINT) * 8 + 1):least(CAST(i AS BIGINT) * 8 + 16, n)], ' ') AS chunk_text "
+            "FROM s"
+        ),
         "token_count": with_docs(
             "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) AS BIGINT) AS n_chars, "

@@ -259,3 +259,52 @@ def pack_context_windows(
         )
 
     return df.groupBy(conv_col).applyInPandas(pack, out_schema)
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking — split each document's whitespace
+    tokens into overlapping windows of ``width`` tokens advancing by
+    ``stride`` (the standard context-window chunking step of a training
+    pipeline). Returns (id, chunk_idx, start_tok, n_chunk_tokens,
+    chunk_text); a doc with <= ``width`` tokens yields exactly one chunk,
+    NULL text yields none, and the last window is the (possibly short)
+    tail so every token appears in >=1 chunk.
+
+    Row-local and JVM-side end to end: ``sequence`` builds the start
+    offsets, ``posexplode`` fans them out (no shuffle — chunking is
+    embarrassingly parallel and stays inside whole-stage codegen), and
+    ``slice``/``array_join`` materialize each window. Output multiplicity
+    is ~n_tokens/stride per doc — bounded, no skew beyond doc length.
+    """
+    if not (0 < stride <= width):
+        raise ValueError("require 0 < stride <= width")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= width, F.lit(1).cast("long"))
+        .otherwise(F.ceil((n - F.lit(width)) / F.lit(stride)) + F.lit(1))
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        ((n_chunks - 1) * stride).cast("long"),
+        F.lit(stride).cast("long"),
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("_i", "start_tok"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start_tok") + 1, F.lit(width))
+    return exploded.select(
+        F.col(id_col),
+        F.col("_i").cast("long").alias("chunk_idx"),
+        F.col("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

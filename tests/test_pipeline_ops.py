@@ -548,3 +548,38 @@ def test_pack_context_windows_greedy(spark):
     assert out[("c3", 2)]["n_tokens"] == 1
     assert [out[("c3", i)]["chunk_id"] for i in (1, 2, 3)] == [1, 1, 2]
     assert all(r["turn_idx"] == r["rn"] - 1 for r in out.values())
+
+
+def test_chunk_text_sliding_windows(spark):
+    """Pins: short doc -> one chunk, overlap by width-stride tokens, tail
+    chunk short but present (every token covered), NULL text -> no chunks,
+    '' -> one 1-token chunk; plan stays shuffle-free (row-local explode)."""
+    from fsharp_data_validation_spark.operators.text import chunk_text
+
+    rows = [
+        Row(id=1, text="a b c"),                      # 3 toks, w=4 -> 1 chunk
+        Row(id=2, text="t1 t2 t3 t4 t5 t6 t7 t8 t9"),  # 9 toks, w=4 s=2 -> starts 0,2,4,6
+        Row(id=3, text=None),
+        Row(id=4, text=""),
+    ]
+    df = spark.createDataFrame(rows)
+    out = chunk_text(df, "id", "text", 4, 2)
+    got = {(r["id"], r["chunk_idx"]): r for r in out.collect()}
+
+    assert got[(1, 0)]["chunk_text"] == "a b c" and got[(1, 0)]["n_chunk_tokens"] == 3
+    assert sum(1 for k in got if k[0] == 1) == 1
+    # doc 2: ceil((9-4)/2)+1 = 4 chunks at starts 0,2,4,6
+    starts = [got[(2, i)]["start_tok"] for i in range(4)]
+    assert starts == [0, 2, 4, 6]
+    assert got[(2, 0)]["chunk_text"] == "t1 t2 t3 t4"
+    assert got[(2, 1)]["chunk_text"] == "t3 t4 t5 t6"      # overlap = 2
+    assert got[(2, 3)]["chunk_text"] == "t7 t8 t9"          # short tail
+    assert got[(2, 3)]["n_chunk_tokens"] == 3
+    # every token covered
+    covered = set()
+    for i in range(4):
+        covered |= set(got[(2, i)]["chunk_text"].split(" "))
+    assert covered == {f"t{j}" for j in range(1, 10)}
+    assert not any(k[0] == 3 for k in got)                  # NULL -> none
+    assert got[(4, 0)]["n_chunk_tokens"] == 1               # '' = one empty token
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
