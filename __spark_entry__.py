@@ -418,6 +418,30 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_docs(spark, sf_dir), "doc_id", 80).select("doc_id", "split")
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group quota sampling (downsample dominant
+    languages) — one row-local scan-stage predicate, zero shuffle
+    (operators/sampling.py:quota_sample)."""
+    from fsharp_data_validation_spark.operators.sampling import quota_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return quota_sample(
+        load_docs(spark, sf_dir), "lang", "doc_id", {"en": 0.5, "zh": 0.9}
+    ).select("doc_id", "lang")
+
+
+def q_temp_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened language rebalancing (n_g^0.7 rule, target 80%
+    of the corpus): one tiny count agg + broadcast rate join + row-local
+    hash filter (operators/sampling.py:temperature_sample)."""
+    from fsharp_data_validation_spark.operators.sampling import temperature_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return temperature_sample(
+        load_docs(spark, sf_dir), "lang", "doc_id", 0.7, 0.8
+    ).select("doc_id", "lang", "keep_rate")
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token statistics: docs, total tokens, vocabulary size
     (exact distinct words). One explode + one aggregate; at 100 TB swap the
@@ -924,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "dedup_components": q_dedup_components,
         "sample_split": q_sample_split,
+        "quota_sample": q_quota_sample,
+        "temp_sample": q_temp_sample,
         "vocab_stats": q_vocab_stats,
         "top_words": q_top_words,
         "minhash_lsh": q_minhash_lsh,
@@ -1641,6 +1667,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' ELSE 'test' END AS split
             FROM docs
             """
+        ),
+        # independent spec of deterministic quota sampling: same salted-md5
+        # threshold with floor semantics (Spark's double->bigint cast
+        # truncates; DuckDB CAST rounds, hence explicit FLOOR)
+        "quota_sample": with_docs(
+            "SELECT doc_id, lang FROM docs "
+            "WHERE CAST(('0x' || substr(md5('quota' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "< CAST(FLOOR(ROUND(CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9 "
+            "ELSE 1.0 END AS DOUBLE), 6) * 1152921504606846976.0) AS BIGINT)"
+        ),
+        "temp_sample": with_docs(
+            ", g AS (SELECT lang, COUNT(*) AS n_g FROM docs GROUP BY lang)"
+            ", s AS (SELECT SUM(POW(CAST(n_g AS DOUBLE), 0.7)) AS wsum, "
+            "        SUM(n_g) AS n_total FROM g)"
+            ", r AS (SELECT lang, ROUND(LEAST(1.0, "
+            "    0.8 * n_total * POW(CAST(n_g AS DOUBLE), 0.7) / wsum / n_g"
+            "  ), 6) AS keep_rate FROM g, s) "
+            "SELECT d.doc_id, d.lang, r.keep_rate "
+            "FROM docs d JOIN r USING (lang) "
+            "WHERE CAST(('0x' || substr(md5('temp' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "< CAST(FLOOR(keep_rate * 1152921504606846976.0) AS BIGINT)"
         ),
         "vocab_stats": with_docs(
             """

@@ -66,3 +66,82 @@ def stratified_sample(
         .filter(F.col("rnk") <= k)
         .drop("_n_s", "_h")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rates: dict,
+    default_rate: float = 1.0,
+    salt: str = "quota",
+) -> DataFrame:
+    """Deterministic per-group rate sampling: keep a row of group g iff its
+    salted md5 hash falls below ``round(rate_g, 6) * 16^15``. The rate map
+    is a compile-time CASE expression, so the whole operator is ONE
+    row-local filter predicate evaluated in the scan stage — zero shuffle,
+    reproducible across runs and cluster sizes, and independent of
+    partitioning (unlike ``DataFrame.sample``). Expected kept fraction per
+    group is exactly the rate (hash is uniform on [0, 16^15))."""
+    rate = None
+    for g, r in sorted(rates.items()):
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(float(r))
+        rate = F.when(cond, lit) if rate is None else rate.when(cond, lit)
+    rate = (
+        rate.otherwise(F.lit(float(default_rate)))
+        if rate is not None
+        else F.lit(float(default_rate))
+    )
+    h = md5_int(F.col(id_col).cast("string"), salt=salt)
+    # floor semantics on both engines: Spark's double->bigint cast truncates;
+    # the DuckDB oracle must write CAST(FLOOR(rate * 16^15) AS BIGINT)
+    thresh = (F.round(rate, 6) * F.lit(float(_MD5_15_MAX))).cast("bigint")
+    return df.filter(h < thresh)
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    tau: float = 0.7,
+    target_frac: float = 1.0,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened group rebalancing — the multilingual-corpus
+    resampling rule (sample group g proportionally to n_g^tau, tau<1
+    up-weights tail groups): with w_g = n_g^tau / sum_h n_h^tau and
+    target = target_frac * N,
+
+        rate_g = min(1, target * w_g / n_g)
+
+    then rows are kept by the same deterministic hash threshold as
+    ``quota_sample``. Rates are rounded to 6 decimals so the pow() is
+    bit-stable across engines (DuckDB oracle parity).
+
+    Scale shape: ONE count aggregate over the group key (map-side combine;
+    group domain ~ languages, tiny), a 1-row broadcast for the normalizer,
+    a broadcast join of the rate table, and a row-local filter — the data
+    itself is never shuffled. Output adds ``keep_rate``."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("_n_g").cast("double"), F.lit(tau))).alias("_wsum"),
+        F.sum("_n_g").alias("_N"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac))
+                * F.col("_N")
+                * F.pow(F.col("_n_g").cast("double"), F.lit(tau))
+                / F.col("_wsum")
+                / F.col("_n_g"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    h = md5_int(F.col(id_col).cast("string"), salt=salt)
+    thresh = (F.col("keep_rate") * F.lit(float(_MD5_15_MAX))).cast("bigint")
+    return df.join(F.broadcast(rates), group_col).filter(h < thresh)

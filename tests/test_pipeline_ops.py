@@ -583,3 +583,33 @@ def test_chunk_text_sliding_windows(spark):
     assert not any(k[0] == 3 for k in got)                  # NULL -> none
     assert got[(4, 0)]["n_chunk_tokens"] == 1               # '' = one empty token
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quota_and_temperature_sampling(spark):
+    """Pins: rate 0 keeps nothing / 1 keeps everything / fraction ~rate;
+    temperature tau<1 up-weights the tail group (its keep_rate hits the
+    min(1,.) cap while the head is downsampled); determinism across calls."""
+    from fsharp_data_validation_spark.operators.sampling import (
+        quota_sample,
+        temperature_sample,
+    )
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "CASE WHEN id % 100 = 0 THEN 'tail' ELSE 'head' END AS grp"
+    )
+    kept = quota_sample(df, "grp", "id", {"head": 0.5, "tail": 1.0})
+    by = {r["grp"]: r["n"] for r in kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert by["tail"] == 20                      # rate 1.0 keeps all
+    assert 850 <= by["head"] <= 1130             # ~0.5 of 1980
+    assert quota_sample(df, "grp", "id", {"head": 0.0, "tail": 0.0}).count() == 0
+    assert kept.collect() == quota_sample(
+        df, "grp", "id", {"head": 0.5, "tail": 1.0}
+    ).collect()                                  # deterministic
+
+    ts = temperature_sample(df, "grp", "id", tau=0.5, target_frac=0.5)
+    rates = {r["grp"]: r["keep_rate"] for r in ts.select("grp", "keep_rate").distinct().collect()}
+    # w_tail/n_tail >> w_head/n_head at tau=0.5: tail rate capped at 1
+    assert rates["tail"] == 1.0
+    assert rates["head"] < 0.55
+    n_kept = ts.count()
+    assert abs(n_kept - 0.5 * 2000) < 200        # expected ~target_frac * N

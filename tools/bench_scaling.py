@@ -117,6 +117,48 @@ def run_dedup(cores: int, iters: int = 3) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def run_curate(cores: int, iters: int = 3) -> dict:
+    """Composed curation pipeline (lang + length gates -> exact-dedup
+    keep-first -> hash split) at local[cores] on the synthetic corpus.
+    The synthetic vocabulary is digit-heavy ('w12345') so the alpha-ratio
+    gate is relaxed to 0; a deterministic lang column (5% 'es') exercises
+    the language filter."""
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.operators.text import curate_corpus
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_curate_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS_DIR).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 20 == 0, F.lit("es")).otherwise(F.lit("en")),
+    )
+    n = docs.count()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        out = curate_corpus(
+            docs, "doc_id", "text", min_tokens=10, max_tokens=500, min_alpha=0.0
+        )
+        out.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
+
+
 def run_suite(cores: int, iters: int = 3) -> dict:
     """One full-constraint-suite pass at local[cores]; prints JSON."""
     from pyspark.sql import functions as F
@@ -243,16 +285,16 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--mode", choices=["suite", "dedup"], default="suite")
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     args = ap.parse_args()
 
     if args.run:
-        fn = run_dedup if args.mode == "dedup" else run_suite
+        fn = {"dedup": run_dedup, "curate": run_curate, "suite": run_suite}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
-    if args.mode == "dedup":
+    if args.mode in ("dedup", "curate"):
         if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
             print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
             gen_docs(args.docs)
@@ -279,11 +321,11 @@ def main() -> None:
 
     eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / 4
     hw_adj = round(eff / ceiling["hardware_max_efficiency"], 3)
-    metric = (
-        "near-dup docs/sec, MinHash(32)+16x2-band LSH + exact verify"
-        if args.mode == "dedup"
-        else "validated turns/sec, full constraint suite"
-    )
+    metric = {
+        "dedup": "near-dup docs/sec, MinHash(32)+16x2-band LSH + exact verify",
+        "curate": "curated docs/sec, composed curation pipeline",
+        "suite": "validated turns/sec, full constraint suite",
+    }[args.mode]
     summary = {
         "metric": metric,
         "mode": args.mode,
@@ -300,19 +342,22 @@ def main() -> None:
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
-    job_desc = (
-        "MinHash(32-hash)+16x2-band LSH near-dup pipeline (shingle -> signature agg -> "
-        "band explode -> bucket self-join -> exact-Jaccard verify) on a deterministic "
-        f"synthetic corpus ({summary['turns']:,} docs with planted near-dups, "
-        "`tools/bench_scaling.py gen_docs`)"
-        if args.mode == "dedup"
-        else "full constraint suite (row refute/dispute suite -> violations+valid, "
+    job_desc = {
+        "dedup": "MinHash(32-hash)+16x2-band LSH near-dup pipeline (shingle -> "
+        "signature agg -> band explode -> bucket self-join -> exact-Jaccard verify) "
+        f"on a deterministic synthetic corpus ({summary['turns']:,} docs with "
+        "planted near-dups, `tools/bench_scaling.py gen_docs`)",
+        "curate": "composed corpus-curation pipeline (lang + token-length gates in "
+        "the scan stage -> exact-dedup keep-first window on md5(text), ONE shuffle "
+        f"-> deterministic hash train/test split) on the same synthetic corpus "
+        f"({summary['turns']:,} docs, `tools/bench_scaling.py gen_docs`)",
+        "suite": "full constraint suite (row refute/dispute suite -> violations+valid, "
         "uniqueness, referential broadcast anti-join, ordering window, column profile "
         f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
         f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
-        "violations, 128 files)"
-    )
-    unit = "docs/sec" if args.mode == "dedup" else "validated turns/sec"
+        "violations, 128 files)",
+    }[args.mode]
+    unit = "validated turns/sec" if args.mode == "suite" else "docs/sec"
     section = (
         f"\n## {summary['metric']}\n\n"
         f"Same job — {job_desc} — at two parallelism levels, one fresh JVM per level; "
