@@ -418,6 +418,15 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_docs(spark, sf_dir), "doc_id", 80).select("doc_id", "split")
 
 
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / control-char / ASCII-ratio encoding hygiene signals —
+    pure column regexes, zero shuffle (operators/text.py:encoding_quality)."""
+    from fsharp_data_validation_spark.operators.text import encoding_quality
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return encoding_quality(load_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group quota sampling (downsample dominant
     languages) — one row-local scan-stage predicate, zero shuffle
@@ -949,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "sample_split": q_sample_split,
         "quota_sample": q_quota_sample,
+        "encoding_quality": q_encoding_quality,
         "temp_sample": q_temp_sample,
         "vocab_stats": q_vocab_stats,
         "top_words": q_top_words,
@@ -1667,6 +1677,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' ELSE 'test' END AS split
             FROM docs
             """
+        ),
+        "encoding_quality": with_docs(
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(length(text) - length(regexp_replace(text, '�', '', 'g')) AS BIGINT) AS n_repl, "
+            "CAST(length(text) - length(regexp_replace(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g')) AS BIGINT) AS n_ctrl, "
+            "CASE WHEN length(text) > 0 THEN "
+            "ROUND(length(regexp_replace(text, '[^\\x00-\\x7f]', '', 'g')) * 1.0 / length(text), 4) "
+            "END AS ascii_ratio FROM docs"
         ),
         # independent spec of deterministic quota sampling: same salted-md5
         # threshold with floor semantics (Spark's double->bigint cast

@@ -308,3 +308,29 @@ def chunk_text(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def encoding_quality(df: DataFrame, id_col: str, text_col: str, round_to: int = 4) -> DataFrame:
+    """Encoding-hygiene signals for corpus filtering: U+FFFD replacement
+    characters (mojibake markers), C0 control characters (excluding
+    tab/newline/CR), and the ASCII ratio. Counting is done as
+    length-minus-stripped-length so the whole operator is pure column
+    regexes (JVM regexp_replace, whole-stage codegen, zero shuffle) and
+    runs verbatim on the DuckDB oracle. NULL text propagates NULLs; the
+    ratio is NULL for empty text.
+    """
+    n_chars = F.length(text_col)
+    repl = n_chars - F.length(F.regexp_replace(F.col(text_col), "�", ""))
+    ctrl = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "")
+    )
+    n_ascii = F.length(F.regexp_replace(F.col(text_col), "[^\\x00-\\x7f]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        repl.cast("bigint").alias("n_repl"),
+        ctrl.cast("bigint").alias("n_ctrl"),
+        F.when(n_chars > 0, F.round(n_ascii.cast("double") / n_chars, round_to)).alias(
+            "ascii_ratio"
+        ),
+    )

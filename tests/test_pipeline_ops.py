@@ -613,3 +613,26 @@ def test_quota_and_temperature_sampling(spark):
     assert rates["head"] < 0.55
     n_kept = ts.count()
     assert abs(n_kept - 0.5 * 2000) < 200        # expected ~target_frac * N
+
+
+def test_encoding_quality_signals(spark):
+    """Pins: U+FFFD counted as mojibake, C0 controls counted (tab/newline
+    exempt), ASCII ratio, NULL text -> NULL metrics, '' -> ratio NULL."""
+    from fsharp_data_validation_spark.operators.text import encoding_quality
+
+    rows = [
+        Row(id=1, text="ok plain ascii"),
+        Row(id=2, text="bad �� mojibake"),
+        Row(id=3, text="ctrl\x01\x02 but tab\t and nl\n fine"),
+        Row(id=4, text="café 中文"),   # 3 non-ascii of 7 chars
+        Row(id=5, text=None),
+        Row(id=6, text=""),
+    ]
+    out = {r["id"]: r for r in encoding_quality(
+        spark.createDataFrame(rows), "id", "text").collect()}
+    assert out[1]["n_repl"] == 0 and out[1]["ascii_ratio"] == 1.0
+    assert out[2]["n_repl"] == 2
+    assert out[3]["n_ctrl"] == 2                    # \t and \n not counted
+    assert out[4]["n_chars"] == 7 and out[4]["ascii_ratio"] == 0.5714
+    assert out[5]["n_chars"] is None and out[5]["ascii_ratio"] is None
+    assert out[6]["n_chars"] == 0 and out[6]["ascii_ratio"] is None
