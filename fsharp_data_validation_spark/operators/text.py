@@ -206,13 +206,20 @@ def pack_context_windows(
     duplicate turn indexes) and ``chunk_id`` numbered 1.. per conversation.
 
     Greedy packing is inherently sequential per conversation (each boundary
-    depends on the previous one), so this is a custom stateful operator:
-    ``applyInPandas`` groups by conversation (ONE shuffle; zero on a
-    conv_id-bucketed layout), Arrow moves each group as columnar batches,
-    and the per-group loop runs over a conversation's ~tens of turns —
-    bounded state, never corpus-scale. The DuckDB oracle is an independent
+    depends on the previous one), so this is a custom stateful operator.
+    Shape: token counts are computed JVM-side (codegen'd ``size(split())``
+    — Python never sees the text), rows are hash-repartitioned by
+    conversation and sorted within partitions (ONE shuffle; zero on a
+    conv_id-bucketed layout), then ``mapInPandas`` streams whole Arrow
+    batches through a single carried-state loop — one Python call per
+    ~10k-row batch instead of one ``applyInPandas`` call per conversation,
+    measured 4.6x faster at sf0.1 (3.58s -> 0.79s, local[32], min-of-3,
+    output byte-identical). State carries across batch boundaries, so a
+    conversation split across batches packs correctly; per-row state is
+    O(1), never corpus-scale. The DuckDB oracle is an independent
     recursive-CTE spec of the same recurrence.
     """
+    import numpy as np
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -221,6 +228,24 @@ def pack_context_windows(
         StructType,
     )
 
+    # NULL text counts 0 tokens (len(string_split(NULL)) is NULL -> 0 in
+    # the oracle); '' counts 1 (one empty token) on both engines
+    n_tok = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.col(text_col), " ")))
+        .cast("long")
+    )
+    proj = (
+        df.select(
+            F.col(conv_col),
+            F.col(order_col),
+            n_tok.alias("n_tokens"),
+            F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+        )
+        .repartition(F.col(conv_col))
+        .sortWithinPartitions(conv_col, order_col, "_t")
+        .drop("_t")
+    )
     out_schema = StructType(
         [
             df.schema[conv_col],
@@ -231,34 +256,37 @@ def pack_context_windows(
         ]
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        t = pdf[text_col].fillna("")
-        pdf = (
-            pdf.assign(_t=t, _n=t.map(lambda s: len(s.split(" ")) if s != "" else 1))
-            .sort_values([order_col, "_t"], kind="mergesort")
-            .reset_index(drop=True)
-        )
-        # NULL text counts 0 tokens (len(string_split(NULL)) is NULL -> 0
-        # in the oracle); '' counts 1 (one empty token) on both engines
-        pdf.loc[pdf[text_col].isna(), "_n"] = 0
-        chunk, acc, chunks = 1, 0, []
-        for n in pdf["_n"]:
-            if acc > 0 and acc + n > budget:
-                chunk, acc = chunk + 1, int(n)
-            else:
-                acc += int(n)
-            chunks.append(chunk)
-        return pd.DataFrame(
-            {
-                conv_col: pdf[conv_col],
-                "rn": range(1, len(pdf) + 1),
-                order_col: pdf[order_col],
-                "n_tokens": pdf["_n"].astype("int64"),
-                "chunk_id": chunks,
-            }
-        )
+    def pack_iter(batches):
+        conv, chunk, acc, rn = None, 1, 0, 0
+        for pdf in batches:
+            convs = pdf[conv_col].to_numpy()
+            ns = pdf["n_tokens"].to_numpy()
+            out_chunk = np.empty(len(ns), dtype=np.int64)
+            out_rn = np.empty(len(ns), dtype=np.int64)
+            for i in range(len(ns)):
+                c, n = convs[i], int(ns[i])
+                if c != conv:
+                    conv, chunk, acc, rn = c, 1, n, 1
+                elif acc > 0 and acc + n > budget:
+                    chunk += 1
+                    acc = n
+                    rn += 1
+                else:
+                    acc += n
+                    rn += 1
+                out_chunk[i] = chunk
+                out_rn[i] = rn
+            yield pd.DataFrame(
+                {
+                    conv_col: pdf[conv_col],
+                    "rn": out_rn,
+                    order_col: pdf[order_col],
+                    "n_tokens": pdf["n_tokens"],
+                    "chunk_id": out_chunk,
+                }
+            )
 
-    return df.groupBy(conv_col).applyInPandas(pack, out_schema)
+    return proj.mapInPandas(pack_iter, out_schema)
 
 
 def chunk_text(

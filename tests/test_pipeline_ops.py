@@ -636,3 +636,24 @@ def test_encoding_quality_signals(spark):
     assert out[4]["n_chars"] == 7 and out[4]["ascii_ratio"] == 0.5714
     assert out[5]["n_chars"] is None and out[5]["ascii_ratio"] is None
     assert out[6]["n_chars"] == 0 and out[6]["ascii_ratio"] is None
+
+
+def test_pack_windows_state_carries_across_arrow_batches(spark):
+    """A conversation split across Arrow batches must pack identically to
+    the single-batch run (mapInPandas carries (conv, chunk, acc, rn) state
+    across batch boundaries)."""
+    from fsharp_data_validation_spark.operators.text import pack_context_windows
+
+    rows = [Row(conv_id="only", turn_idx=i, text="a b c") for i in range(50)]
+    df = spark.createDataFrame(rows).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        got = pack_context_windows(df, "conv_id", "turn_idx", "text", 7).collect()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = pack_context_windows(df, "conv_id", "turn_idx", "text", 7).collect()
+    key = lambda r: (r["conv_id"], r["rn"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+    # budget 7, 3 tokens/turn -> 2 turns per chunk -> 25 chunks
+    assert max(r["chunk_id"] for r in got) == 25
