@@ -77,12 +77,14 @@ def cross_contamination_pairs(
     # verify against the union of both set tables (ids are disjoint roles:
     # id_a always train-side, id_b always eval-side)
     sets_all = sets_t.union(sets_e)
-    out = _verify_jaccard(cand, sets_all, threshold).select(
+    # NOTE: the set tables stay persisted for the lifetime of the returned
+    # plan (same policy as the dedup ops) — an eager unpersist() here would
+    # drop the cache BEFORE the caller ever evaluates the DataFrame, making
+    # every downstream branch (dfreq, both prefixes, verify) re-shingle
+    # from scratch.
+    return _verify_jaccard(cand, sets_all, threshold).select(
         F.col("id_a").alias("train_id"), F.col("id_b").alias("eval_id"), "sim"
     )
-    sets_t.unpersist()
-    sets_e.unpersist()
-    return out
 
 
 def ngram_containment(
