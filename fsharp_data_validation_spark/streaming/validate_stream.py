@@ -196,3 +196,61 @@ def stream_dedup(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(id_cols)
     )
+
+
+def windowed_drift_stream(
+    stream_df: DataFrame,
+    baseline_hist: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    bucket_width: float = 25.0,
+    n_buckets: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Streaming PSI drift monitor against a static baseline: per
+    event-time window, emit (win, rows, psi) where ``psi`` compares the
+    window's distribution of ``value_col`` to ``baseline_hist`` (a batch
+    histogram from ``operators.drift.histogram``, e.g. built over last
+    month's validated corpus).
+
+    Shape notes for streaming:
+    - Structured Streaming forbids chained aggregations, so the histogram
+      is built as ``n_buckets`` conditional sums inside the ONE watermarked
+      window aggregation (same closed form as ``operators/drift.py``) and
+      PSI is then a row-local expression over those count columns —
+      append-mode compatible, state evicted by the watermark.
+    - the baseline histogram is collected once on the driver: it is
+      ``n_buckets`` rows (a few hundred bytes) REGARDLESS of how much data
+      produced it, so this is a plan-literal, not a data collect. Baseline
+      proportions use the same EPS clamp as the batch PSI.
+    """
+    from ..operators.drift import EPS
+
+    base = {r["bucket"]: r["n"] for r in baseline_hist.collect()}
+    tot = float(sum(base.values())) or 1.0
+
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    bucketed = (
+        stream_df.filter(F.col(value_col).isNotNull())
+        .withColumn("_bkt", b)
+        .withWatermark(ts_col, watermark)
+    )
+    counts = [
+        F.sum((F.col("_bkt") == i).cast("long")).alias(f"_c{i}")
+        for i in range(n_buckets)
+    ]
+    agg = bucketed.groupBy(F.window(ts_col, window).alias("win")).agg(
+        F.count(F.lit(1)).alias("rows"), *counts
+    )
+    psi_col = None
+    for i in range(n_buckets):
+        p = F.greatest(F.col(f"_c{i}") / F.col("rows"), F.lit(EPS))
+        q = max(base.get(i, 0) / tot, EPS)
+        term = (p - F.lit(q)) * F.log(p / F.lit(q))
+        psi_col = term if psi_col is None else psi_col + term
+    return agg.select("win", "rows", F.round(psi_col, round_to).alias("psi"))

@@ -439,3 +439,68 @@ def test_stream_dedup_drops_watermark_window_duplicates(spark, tmp_path):
     out = spark.sql("select * from dedup_out").collect()
     texts = sorted(r["text"] for r in out)
     assert texts == ["alpha", "beta", "gamma"]  # one survivor per digest
+
+
+def test_windowed_drift_stream_matches_batch_psi(spark, tmp_path):
+    """Streaming PSI per event-time window: a window drawn from the
+    baseline distribution scores ~0; a shifted window scores high; and each
+    window's streamed PSI equals the batch psi() over the same slice (the
+    conditional-sum histogram is the same closed form)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from fsharp_data_validation_spark.operators.drift import histogram, psi
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        windowed_drift_stream,
+    )
+
+    schema = StructType(
+        [StructField("v", DoubleType()), StructField("ts", TimestampType())]
+    )
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    # baseline-like values cycle over buckets 0..3; shifted values over 12..19
+    w1 = [(float(i % 4) * 25.0 + 1, t0) for i in range(200)]
+    w2 = [(float(12 + i % 8) * 25.0 + 1, t0 + timedelta(minutes=5)) for i in range(200)]
+    # sentinel far in the future: advances the watermark so both real
+    # windows FINALIZE in append mode (its own window stays open, unemitted)
+    sentinel = [(1.0, t0 + timedelta(minutes=30))]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(w1 + w2 + sentinel, schema).write.parquet(src)
+
+    baseline = histogram(
+        spark.createDataFrame(w1, schema), "v", 25.0, 20
+    )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    drift = windowed_drift_stream(
+        stream, baseline, "v", "ts", "1 minute", "2 minutes", 25.0, 20
+    )
+    q = (
+        drift.writeStream.format("memory")
+        .queryName("drift_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = sorted(
+        spark.sql("select * from drift_out").collect(), key=lambda r: r["win"]["start"]
+    )
+    assert [r["rows"] for r in out] == [200, 200]
+    assert out[0]["psi"] < 0.05          # same distribution as baseline
+    assert out[1]["psi"] > 1.0           # fully shifted distribution
+
+    # cross-check each window against the batch closed form
+    for rows, got in ((w1, out[0]["psi"]), (w2, out[1]["psi"])):
+        want = psi(
+            histogram(spark.createDataFrame(rows, schema), "v", 25.0, 20), baseline
+        ).collect()[0]["psi"]
+        assert abs(got - want) <= 1e-3, (got, want)
