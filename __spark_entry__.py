@@ -418,6 +418,18 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_docs(spark, sf_dir), "doc_id", 80).select("doc_id", "split")
 
 
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: contiguous hash-order
+    rank via balanced fixed-width hash buckets + broadcast offsets — never
+    a single-task global sort (operators/sampling.py:global_shuffle)."""
+    from fsharp_data_validation_spark.operators.sampling import global_shuffle
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return global_shuffle(load_docs(spark, sf_dir), "doc_id", 64).select(
+        "doc_id", "rank"
+    )
+
+
 def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake / control-char / ASCII-ratio encoding hygiene signals —
     pure column regexes, zero shuffle (operators/text.py:encoding_quality)."""
@@ -959,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "quota_sample": q_quota_sample,
         "encoding_quality": q_encoding_quality,
+        "global_shuffle": q_global_shuffle,
         "temp_sample": q_temp_sample,
         "vocab_stats": q_vocab_stats,
         "top_words": q_top_words,
@@ -1677,6 +1690,13 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' ELSE 'test' END AS split
             FROM docs
             """
+        ),
+        # independent spec: the naive single-window global rank the bucketed
+        # implementation must equal exactly
+        "global_shuffle": with_docs(
+            "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+            "CAST(('0x' || substr(md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), "
+            "doc_id) AS BIGINT) AS \"rank\" FROM docs"
         ),
         "encoding_quality": with_docs(
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

@@ -145,3 +145,41 @@ def temperature_sample(
     h = md5_int(F.col(id_col).cast("string"), salt=salt)
     thresh = (F.col("keep_rate") * F.lit(float(_MD5_15_MAX))).cast("bigint")
     return df.join(F.broadcast(rates), group_col).filter(h < thresh)
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    n_buckets: int = 1024,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: assign every row a
+    contiguous 1-based ``rank`` in salted-md5-hash order (a reproducible
+    pseudorandom permutation, identical across runs and cluster sizes).
+
+    The naive ``ROW_NUMBER() OVER (ORDER BY hash)`` funnels the whole
+    corpus through ONE task. Scale-correct shape instead: the hash is
+    uniform on [0, 16^15), so fixed-width buckets ``floor(h / (MAX/B))``
+    are balanced WITHOUT a sampled range partitioner (whose boundaries are
+    nondeterministic); rank = (cumulative count of all lower buckets) +
+    (row_number within the bucket). The bucket-offset table is B rows —
+    computed with one tiny aggregate + window cumsum and broadcast back, so
+    the big table is shuffled exactly once (by bucket) and every window
+    sort is 1/B of the corpus. Output: df + (rank). Equals the naive form
+    exactly (pinned by the oracle query)."""
+    h = md5_int(F.col(id_col).cast("string"), salt=salt)
+    width = _MD5_15_MAX // n_buckets + 1
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_bkt", (F.col("_h") / F.lit(width)).cast("int")
+    )
+    counts = bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    wcum = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_off")
+    )
+    wrank = Window.partitionBy("_bkt").orderBy("_h", id_col)
+    return (
+        bucketed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("rank", (F.col("_off") + F.row_number().over(wrank)).cast("bigint"))
+        .drop("_h", "_bkt", "_off")
+    )

@@ -657,3 +657,30 @@ def test_pack_windows_state_carries_across_arrow_batches(spark):
     assert sorted(got, key=key) == sorted(want, key=key)
     # budget 7, 3 tokens/turn -> 2 turns per chunk -> 25 chunks
     assert max(r["chunk_id"] for r in got) == 25
+
+
+def test_global_shuffle_contiguous_and_plan(spark):
+    """Bucketed global rank: ranks are exactly 1..N with no gaps, equal the
+    naive single-window form, deterministic across calls, and the plan
+    contains no single-partition global Sort (the scale hazard)."""
+    from fsharp_data_validation_spark.operators.sampling import global_shuffle
+
+    df = spark.range(0, 3000).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, "doc_id", n_buckets=16)
+    ranks = [r["rank"] for r in out.select("rank").collect()]
+    assert sorted(ranks) == list(range(1, 3001))
+    naive = df.selectExpr(
+        "doc_id",
+        "CAST(ROW_NUMBER() OVER (ORDER BY "
+        "CAST(conv(substring(md5(concat('shuffle','|',CAST(doc_id AS STRING))),1,15),16,10) AS BIGINT), "
+        "doc_id) AS BIGINT) AS rank",
+    )
+    lhs = {(r["doc_id"], r["rank"]) for r in out.select("doc_id", "rank").collect()}
+    rhs = {(r["doc_id"], r["rank"]) for r in naive.collect()}
+    assert lhs == rhs
+    # no global single-partition sort: every Sort in the plan is non-global
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            # Spark prints "Sort [keys], <global>, 0" — require non-global
+            assert "], false, 0" in line, line
