@@ -418,6 +418,16 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(load_docs(spark, sf_dir), "doc_id", 80).select("doc_id", "split")
 
 
+def q_schema_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract conformance report for the transcripts input vs the
+    input_hint contract — pure metadata, O(columns) at any data scale
+    (functions/schema_contract.py). Genuinely catches a real drift in the
+    test input: parquet ts is TIMESTAMP_NTZ vs the contract's TIMESTAMP."""
+    from fsharp_data_validation_spark.functions.schema_contract import schema_report
+
+    return schema_report(spark, _transcripts(spark, sf_dir))
+
+
 def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training-order shuffle: contiguous hash-order
     rank via balanced fixed-width hash buckets + broadcast offsets — never
@@ -972,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "encoding_quality": q_encoding_quality,
         "global_shuffle": q_global_shuffle,
+        "schema_report": q_schema_report,
         "temp_sample": q_temp_sample,
         "vocab_stats": q_vocab_stats,
         "top_words": q_top_words,
@@ -1690,6 +1701,19 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN {_SPLIT_BUCKET_SQL} < 80 THEN 'train' ELSE 'test' END AS split
             FROM docs
             """
+        ),
+        # golden expectation: the pinned conformance verdict of THIS test
+        # input against the input_hint contract (conv_id nullable from the
+        # concat derivation; parquet ts is TIMESTAMP_NTZ -> type_mismatch)
+        "schema_report": (
+            "SELECT * FROM (VALUES "
+            "('conv_id', 'nullability', 'string', 'string'), "
+            "('turn_idx', 'ok', 'int', 'int'), "
+            "('role', 'ok', 'string', 'string'), "
+            "('text', 'ok', 'string', 'string'), "
+            "('tool', 'ok', 'string', 'string'), "
+            "('ts', 'type_mismatch', 'timestamp', 'timestamp_ntz')"
+            ") AS t(\"column\", status, expected_type, actual_type)"
         ),
         # independent spec: the naive single-window global rank the bucketed
         # implementation must equal exactly

@@ -684,3 +684,60 @@ def test_global_shuffle_contiguous_and_plan(spark):
         if "Sort [" in line:
             # Spark prints "Sort [keys], <global>, 0" — require non-global
             assert "], false, 0" in line, line
+
+
+def test_schema_contract_report_and_conform(spark):
+    """Pins the schema-contract component: every violation class is
+    detected; conform_schema reorders + widens + drops extras, raises on
+    missing columns and non-widening casts, and the conformed frame
+    matches the contract exactly."""
+    import pytest
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from fsharp_data_validation_spark.functions.schema_contract import (
+        conform_schema,
+        schema_violations,
+    )
+
+    contract = StructType(
+        [
+            StructField("a", IntegerType(), nullable=False),
+            StructField("b", StringType(), nullable=True),
+            StructField("c", DoubleType(), nullable=True),
+        ]
+    )
+    actual = StructType(
+        [
+            StructField("c", IntegerType(), nullable=True),   # widenable
+            StructField("a", IntegerType(), nullable=True),   # nullability
+            StructField("x", LongType(), nullable=True),      # extra
+        ]
+    )
+    got = {v["column"]: v["status"] for v in schema_violations(actual, contract)}
+    assert got == {"a": "nullability", "b": "missing", "c": "type_mismatch", "x": "extra"}
+
+    df = spark.createDataFrame([(1, 2, 3)], "c INT, a INT, x BIGINT")
+    with pytest.raises(ValueError, match="missing column b"):
+        conform_schema(df, contract)
+    df2 = spark.createDataFrame([("s", 1, 2)], "b STRING, a INT, c INT")
+    out = conform_schema(df2, contract)
+    assert [f.name for f in out.schema.fields] == ["a", "b", "c"]
+    assert out.schema["c"].dataType.simpleString() == "double"
+    with pytest.raises(ValueError, match="extra columns"):
+        conform_schema(
+            spark.createDataFrame([(1, "s", 1.0, 9)], "a INT, b STRING, c DOUBLE, z INT"),
+            contract,
+            on_extra="error",
+        )
+    with pytest.raises(ValueError, match="cannot conform"):
+        conform_schema(
+            spark.createDataFrame([("s", "s", 1.0)], "a STRING, b STRING, c DOUBLE"),
+            contract,
+        )
