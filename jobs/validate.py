@@ -71,6 +71,15 @@ def main(argv=None) -> int:
         action="store_true",
         help="also write the validated (clean) rows, partitioned like the input",
     )
+    ap.add_argument(
+        "--schema",
+        choices=["conform", "enforce", "off"],
+        default="conform",
+        help="schema-contract gate before the suite: 'conform' reorders + "
+        "applies safe widening casts and fails on real drift; 'enforce' "
+        "additionally fails on nullability relaxations and extra columns; "
+        "'off' skips the gate",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("validate_transcripts").getOrCreate()
@@ -82,6 +91,33 @@ def main(argv=None) -> int:
         df = load_transcripts(spark, args.input)
     else:
         ap.error("one of --input / --events-dir is required")
+    if args.schema != "off":
+        from fsharp_data_validation_spark.functions.schema_contract import (
+            TRANSCRIPT_CONTRACT,
+            conform_schema,
+            schema_violations,
+        )
+
+        from pyspark.sql.types import StructType
+
+        # a pre-existing partition column is part of the table's layout,
+        # not drift — carry it through the conformance projection
+        contract = TRANSCRIPT_CONTRACT
+        if args.partition_col in df.columns:
+            contract = StructType(
+                list(TRANSCRIPT_CONTRACT.fields) + [df.schema[args.partition_col]]
+            )
+        if args.schema == "enforce":
+            bad = [
+                v
+                for v in schema_violations(df.schema, contract)
+                if v["status"] != "ok"
+            ]
+            if bad:
+                print(json.dumps({"schema_violations": bad}), file=sys.stderr)
+                return 3
+        df = conform_schema(df, contract)
+
     if args.partition_col not in df.columns:
         df = df.withColumn(args.partition_col, F.to_date("ts"))
 

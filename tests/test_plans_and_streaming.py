@@ -504,3 +504,35 @@ def test_windowed_drift_stream_matches_batch_psi(spark, tmp_path):
             histogram(spark.createDataFrame(rows, schema), "v", 25.0, 20), baseline
         ).collect()[0]["psi"]
         assert abs(got - want) <= 1e-3, (got, want)
+
+
+def test_job_schema_gate(spark, tmp_path):
+    """--schema enforce fails fast (exit 3) on the derived table's real
+    drift (nullable conv_id, TIMESTAMP_NTZ ts); the default conform gate
+    coerces ts to the contract type and the run proceeds."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import validate as job
+
+    rc = job.main(
+        [
+            "--events-dir", "/root/testdata/sf0.001",
+            "--output", str(tmp_path / "enforce_out"),
+            "--schema", "enforce",
+        ]
+    )
+    assert rc == 3
+    assert not os.path.exists(str(tmp_path / "enforce_out" / "manifest"))
+
+    rc = job.main(
+        [
+            "--events-dir", "/root/testdata/sf0.001",
+            "--output", str(tmp_path / "conform_out"),
+            "--max-partitions", "2",
+        ]
+    )
+    assert rc == 0
+    # conformed input: violations parquet ts column carries the contract type
+    viol = spark.read.parquet(str(tmp_path / "conform_out" / "violations"))
+    assert viol.schema["ts"].dataType.simpleString() == "timestamp"
