@@ -484,7 +484,7 @@ def near_dup_components(
     n: int = 3,
     threshold: float = 0.8,
     max_iter: int = 20,
-    algorithm: str = "propagation",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components of the near-dup pair graph — the clustering
     step of corpus dedup (pick one representative per near-dup cluster).
@@ -502,11 +502,17 @@ def near_dup_components(
     the exception, not the rule); the corpus's singleton majority never
     enters a round and is attached once at the end with label = self, so
     per-round shuffle volume scales with the duplicate graph, not the
-    corpus. For adversarial graph shapes (long chains, huge diameters)
-    pass ``algorithm="star"`` to use alternating large-star/small-star
-    rounds (``connected_components_star`` — O(log^2 n) rounds on any
-    shape); propagation stays the default because near-dup clusters are
-    shallow and its per-round constant is smaller."""
+    corpus.
+
+    ``algorithm="star"`` (default) uses alternating large-star/small-star
+    contraction (``connected_components_star`` — O(log^2 n) rounds on ANY
+    graph shape, vs O(diameter) for propagation). Measured on the sf0.1
+    corpus (local[32], min-of-2, two interleaved A/Bs in one session):
+    star 5.0-5.6 s end-to-end vs propagation 12.6-25.6 s — star converges
+    in fewer blocking rounds, and each propagation round pays a
+    localCheckpoint materialization + a convergence-check job. Both
+    variants are output-identical (equality test + oracle) and
+    ``algorithm="propagation"`` remains available."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold).select(
         "id_a", "id_b"
     )
