@@ -410,6 +410,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
 
 
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
+    misses): exact, via the asymmetric prefix filter — query-side prefix
+    against a full inverted index (operators/dedup.py:
+    containment_dedup_pairs), checked against the naive all-pairs spec."""
+    from fsharp_data_validation_spark.operators.dedup import containment_dedup_pairs
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return containment_dedup_pairs(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash train/test split (row-local, reproducible)."""
     from fsharp_data_validation_spark.operators.sampling import hash_split
@@ -978,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_apply": q_dedup_apply,
         "dedup_components": q_dedup_components,
+        "containment_dedup": q_containment_dedup,
         "sample_split": q_sample_split,
         "quota_sample": q_quota_sample,
         "encoding_quality": q_encoding_quality,
@@ -1685,6 +1697,26 @@ def oracle_sql() -> dict[str, str]:
             ") g WHERE n_dups > 1"
         ),
         "ngram_jaccard": with_docs(_JACCARD_ORACLE),
+        # independent spec: naive all-pairs containment (the obviously-
+        # correct O(n^2) form the asymmetric prefix-filtered join must
+        # equal); id_a is the contained (smaller-set) side
+        "containment_dedup": with_docs(
+            """
+, d AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+  WHERE len(w) >= 3
+)
+SELECT id_a, id_b, containment FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS containment
+  FROM d a JOIN d b ON (len(a.sh) < len(b.sh)
+       OR (len(a.sh) = len(b.sh) AND a.doc_id < b.doc_id))
+) p WHERE containment >= 0.8
+"""
+        ),
         "dedup_apply": with_docs(
             """
             SELECT doc_id FROM (

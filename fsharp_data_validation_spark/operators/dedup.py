@@ -696,3 +696,68 @@ def connected_components_star(edges: DataFrame, max_iter: int = 50) -> DataFrame
         e.select(F.col("v").alias("node"), F.col("v").alias("label"))
     )
     return nodes.groupBy("node").agg(F.min("label").alias("component"))
+
+
+def containment_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT asymmetric containment near-dup pairs:
+    C(a ⊆ b) = |A∩B| / |A| >= threshold with |A| <= |B| — the dedup class
+    Jaccard misses entirely (a 10-shingle snippet quoted inside a
+    500-shingle doc has J ≈ 0.02 but containment 1.0; boilerplate, quotes,
+    chunk-of-larger-doc leaks). Returns (id_a, id_b, containment) with
+    id_a the contained (smaller) side; equal sizes orient id_a < id_b.
+
+    Prefix filtering is ASYMMETRIC here (no recall loss): the symmetric
+    Jaccard bound indexes only prefixes on both sides, but for containment
+    the big side's shared fraction can be arbitrarily small, so B's FULL
+    shingle list is indexed and only the QUERY side A is prefix-pruned —
+    if none of A's floor((1-t)*|A|)+1 globally-rarest shingles hits B,
+    then |A∩B| < t*|A| and the pair cannot qualify. Candidate volume is
+    sum over A-prefix occurrences of df(shingle): rarest-first ranking
+    keeps df small, hot shingles never enter prefixes. Verify is the exact
+    set intersection, same persisted set table as the Jaccard path."""
+    sets_df = _shingle_sets(df, id_col, text_col, n).persist()
+    ex = sets_df.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("sh1")
+    )
+    dfreq = ex.groupBy("sh1").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh1")
+    prefix = (
+        ex.join(dfreq, "sh1")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= F.floor((1 - threshold) * F.col("n_sh")) + 1)
+        .select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "sh1")
+    )
+    full = ex.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "sh1"
+    )
+    cand = (
+        prefix.join(full, "sh1")
+        .filter(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets_df.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_df.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / F.size("sh_a"), round_to).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

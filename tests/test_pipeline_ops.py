@@ -741,3 +741,40 @@ def test_schema_contract_report_and_conform(spark):
             spark.createDataFrame([("s", "s", 1.0)], "a STRING, b STRING, c DOUBLE"),
             contract,
         )
+
+
+def test_containment_catches_snippet_jaccard_misses(spark):
+    """A short snippet quoted inside a long doc has containment 1.0 but
+    tiny Jaccard: containment_dedup_pairs reports it (oriented small->big),
+    ngram_jaccard_pairs at the same threshold does not; unrelated docs are
+    absent; exact dups orient by id."""
+    from fsharp_data_validation_spark.operators.dedup import (
+        containment_dedup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    snippet = "alpha beta gamma delta epsilon"
+    long_doc = " ".join(f"w{i}" for i in range(60)) + " " + snippet + " " + " ".join(
+        f"v{i}" for i in range(60)
+    )
+    rows = [
+        Row(doc_id=1, text=snippet),
+        Row(doc_id=2, text=long_doc),
+        Row(doc_id=3, text="totally unrelated words here in this doc"),
+        Row(doc_id=4, text=snippet),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows)
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_dedup_pairs(df, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert cont[(1, 2)] == 1.0          # snippet contained in long doc
+    assert cont[(4, 2)] == 1.0
+    assert cont[(1, 4)] == 1.0          # equal sizes -> id order
+    assert all(3 not in k for k in cont)
+    jac = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.8).collect()
+    }
+    assert (1, 2) not in jac            # Jaccard blind to containment
+    assert (1, 4) in jac
