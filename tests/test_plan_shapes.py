@@ -208,3 +208,52 @@ def test_corpus_curate_one_scan_one_shuffle(spark, sf):
     )
     assert n_scans == 1
     assert plan.count("Exchange (") == 1
+
+
+def test_quota_and_chunking_stay_in_scan_stage(spark, sf):
+    """quota_sample is ONE row-local filter predicate (no Exchange anywhere);
+    chunk_text and encoding_quality are pure projections over the scan —
+    the curation scalars never shuffle the corpus."""
+    from fsharp_data_validation_spark.operators.sampling import quota_sample
+    from fsharp_data_validation_spark.operators.text import chunk_text, encoding_quality
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    docs = load_docs(spark, sf)
+    for df in (
+        quota_sample(docs, "lang", "doc_id", {"en": 0.5}),
+        chunk_text(docs, "doc_id", "text", 16, 8),
+        encoding_quality(docs, "doc_id", "text"),
+    ):
+        assert "Exchange" not in _plan(df)
+
+
+def test_temperature_sample_broadcasts_rates(spark, sf):
+    """The data side is never shuffled: the only exchanges belong to the
+    tiny per-group count aggregate (group domain ~ languages); the rate
+    table joins back as a broadcast."""
+    from fsharp_data_validation_spark.operators.sampling import temperature_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    plan = _plan(temperature_sample(load_docs(spark, sf), "lang", "doc_id", 0.7, 0.8))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pack_windows_single_shuffle(spark):
+    """Greedy packing adds exactly ONE Exchange (hash by conversation)
+    feeding the sorted mapInPandas — token counts are computed JVM-side
+    below it (a clean input, so every exchange in the plan is packing's)."""
+    import re
+
+    from fsharp_data_validation_spark.operators.text import pack_context_windows
+
+    t = spark.range(0, 1000).selectExpr(
+        "concat('c', cast(id % 37 as string)) AS conv_id",
+        "cast(id as int) AS turn_idx",
+        "repeat('w ', cast(id % 9 as int)) AS text",
+    )
+    plan = _plan(pack_context_windows(t))
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_exchanges == 1, plan
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(conv_id" in plan
