@@ -410,6 +410,22 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
 
 
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable per-day HLL sketches of distinct conv_ids, answered by
+    sketch UNION without rescanning (operators/stats.py:
+    hll_partition_sketches/hll_rollup). No DuckDB oracle — DataSketches
+    HLL binary sketches are not reproducible in DuckDB; accuracy and the
+    exact union-merge property are pinned by
+    tests/test_pipeline_ops.py::test_hll_sketch_rollup_merge_property."""
+    from fsharp_data_validation_spark.operators.stats import (
+        hll_partition_sketches,
+        hll_rollup,
+    )
+
+    t = _transcripts(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return hll_rollup(hll_partition_sketches(t, "day", "conv_id"))
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -990,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q_dedup_apply,
         "dedup_components": q_dedup_components,
         "containment_dedup": q_containment_dedup,
+        "hll_rollup": q_hll_rollup,
         "sample_split": q_sample_split,
         "quota_sample": q_quota_sample,
         "encoding_quality": q_encoding_quality,

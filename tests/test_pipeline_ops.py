@@ -778,3 +778,46 @@ def test_containment_catches_snippet_jaccard_misses(spark):
     }
     assert (1, 2) not in jac            # Jaccard blind to containment
     assert (1, 4) in jac
+
+
+def test_hll_sketch_rollup_merge_property(spark):
+    """Per-partition HLL sketches answer subset distinct counts by UNION
+    without rescanning: the union estimate over all partitions equals the
+    whole-table sketch estimate exactly (same sketch algebra), per-subset
+    estimates are within the published HLL error of exact, and sketches
+    are small (KBs)."""
+    from fsharp_data_validation_spark.operators.stats import (
+        hll_partition_sketches,
+        hll_rollup,
+    )
+
+    df = spark.range(0, 50_000).selectExpr(
+        "cast(id % 10 as string) AS day",
+        # ~5k distinct values per day, heavy cross-day overlap
+        "concat('u', cast(id % 13337 as string)) AS user"
+    )
+    sk = hll_partition_sketches(df, "day", "user").cache()
+    assert sk.count() == 10
+    assert max(len(r["sketch"]) for r in sk.collect()) < 20_000  # bytes
+
+    whole = hll_rollup(sk).collect()[0]
+    exact_whole = df.selectExpr("count(distinct user) AS d").collect()[0]["d"]
+    assert whole["n_parts"] == 10
+    assert abs(whole["distinct_estimate"] - exact_whole) / exact_whole < 0.05
+
+    subset = hll_rollup(sk, ["0", "1", "2"]).collect()[0]
+    exact_subset = (
+        df.filter("day in ('0','1','2')")
+        .selectExpr("count(distinct user) AS d")
+        .collect()[0]["d"]
+    )
+    assert subset["n_parts"] == 3
+    assert abs(subset["distinct_estimate"] - exact_subset) / exact_subset < 0.05
+
+    # merge property: union of all per-part sketches == one whole-table sketch
+    from pyspark.sql import functions as F
+    one_shot = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(F.col("user"), F.lit(12))).alias("d")
+    ).collect()[0]["d"]
+    assert whole["distinct_estimate"] == one_shot
+    sk.unpersist()
