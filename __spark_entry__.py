@@ -410,6 +410,42 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_components(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end on the RAWV raw-frame container:
+    payloads synthesized in Spark SQL (header + ASCII body so the oracle
+    can rebuild each frame as a substring), every-2nd-frame extraction via
+    Arrow mapInPandas numpy slicing (operators/multimodal.py:frame_sample);
+    frames decoded back to text for engine-portable comparison."""
+    from fsharp_data_validation_spark.operators.multimodal import frame_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    d = load_docs(spark, sf_dir)
+    n = (F.col("doc_id") % 5 + 2).cast("int")
+    # F.rpad takes only a literal length, so the per-doc pad length goes
+    # through expr(); '[^ -~]' strips non-ASCII so char offsets == byte
+    # offsets on both engines
+    body = F.expr(
+        "rpad(regexp_replace(coalesce(text, ''), '[^ -~]', ''), "
+        "cast((doc_id % 5 + 2) * 12 as int), '.')"
+    )
+    payload = F.concat(
+        F.unhex(F.lit("5256")),                      # 'RV'
+        F.unhex(F.lpad(F.hex(n), 4, "0")),           # n_frames BE uint16
+        F.unhex(F.lit("0004")),                      # width 4
+        F.unhex(F.lit("0003")),                      # height 3
+        F.encode(body, "UTF-8"),
+    )
+    media = d.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    frames = frame_sample(media, every_n=2)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.decode(F.col("frame"), "UTF-8").alias("frame_text"),
+    )
+
+
 def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable per-day HLL sketches of distinct conv_ids, answered by
     sketch UNION without rescanning (operators/stats.py:
@@ -1007,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "containment_dedup": q_containment_dedup,
         "hll_rollup": q_hll_rollup,
+        "frame_sample": q_frame_sample,
         "sample_split": q_sample_split,
         "quota_sample": q_quota_sample,
         "encoding_quality": q_encoding_quality,
@@ -1889,6 +1926,21 @@ SELECT id_a, id_b, containment FROM (
                     ORDER BY sim DESC, neighbor_id ASC) AS rnk FROM scored)
             SELECT query_id, neighbor_id, rnk, sim FROM r WHERE rnk <= 3
             """
+        ),
+        # independent spec of RAWV frame sampling: each sampled frame is
+        # the i*12+1..i*12+12 substring of the dot-padded ASCII body
+        "frame_sample": with_docs(
+            ", v AS ("
+            "  SELECT doc_id AS media_id, CAST(doc_id % 5 + 2 AS INT) AS n, "
+            "    rpad(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), "
+            "         CAST((doc_id % 5 + 2) * 12 AS INT), '.') AS body "
+            "  FROM docs"
+            "), s AS ("
+            "  SELECT media_id, n, body, unnest(range(0, n, 2)) AS i FROM v"
+            ") "
+            "SELECT media_id, CAST(i AS INT) AS frame_idx, "
+            "  CAST(4 AS INT) AS width, CAST(3 AS INT) AS height, "
+            "  substr(body, CAST(i * 12 + 1 AS INT), 12) AS frame_text FROM s"
         ),
         "media_meta": with_docs(
             "SELECT doc_id AS media_id, "

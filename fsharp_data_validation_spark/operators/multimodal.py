@@ -10,9 +10,10 @@ codec decode is STUBBED (this environment has no image/audio libraries):
   5 bytes) — swap ``_parse_header`` for a real codec (PIL/libvips) in prod.
 - ``byte_histogram_features``: REAL feature extraction — 16-bin byte
   histogram per payload, vectorized with numpy.frombuffer/bincount.
-- ``frame_sample``: raises NotImplementedError — marked stub for video
-  codecs; the surrounding plumbing (explode of sampled frame indices,
-  schema) is in place.
+- ``frame_sample``: REAL frame extraction for the uncompressed RAWV
+  raw-frame container (numpy byte slicing per sampled index); compressed
+  codecs still raise NotImplementedError — a real decoder (pyav/ffmpeg)
+  slots in behind the same signature and ``VIDEO_FRAME_SCHEMA``.
 """
 
 from __future__ import annotations
@@ -166,11 +167,81 @@ def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.mapInPandas(go, schema=schema)
 
 
-def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — NOT IMPLEMENTED (no codec in this
-    environment). The call shape and output schema are fixed so a real
-    decoder slots in behind this signature."""
-    raise NotImplementedError(
-        "frame_sample requires a video codec (e.g. pyav/ffmpeg); "
-        "plumbing is defined — swap in a decoder in production."
+RAWV_MAGIC = b"RV"
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def make_fake_video_payload(
+    n_frames: int, width: int, height: int, seed: int
+) -> bytes:
+    """Deterministic RAWV container: 8-byte header ('RV' + BE uint16
+    n_frames/width/height) + n_frames contiguous w*h grayscale frames."""
+    header = (
+        RAWV_MAGIC
+        + int(n_frames).to_bytes(2, "big")
+        + int(width).to_bytes(2, "big")
+        + int(height).to_bytes(2, "big")
     )
+    rng = np.random.default_rng(seed)
+    body = rng.integers(0, 256, size=n_frames * width * height, dtype=np.uint8)
+    return header + body.tobytes()
+
+
+def frame_sample(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling — REAL extraction for the RAWV raw-frame
+    container (uncompressed, frame-addressable by offset): every
+    ``every_n``-th frame (always including frame 0) is sliced out of the
+    payload bytes with numpy inside Arrow batches, one output row per
+    sampled frame. mapInPandas, partition-preserving, no shuffle; output
+    multiplicity = ceil(n_frames/every_n) per video.
+
+    Compressed codecs (H.264 etc.) remain NotImplementedError — no video
+    library ships in this environment; a real decoder slots in behind this
+    exact signature and ``VIDEO_FRAME_SCHEMA``. NULL payloads yield no
+    frames."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, frames = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                if len(b) < 8 or b[:2] != RAWV_MAGIC:
+                    raise NotImplementedError(
+                        "frame_sample decodes only the RAWV raw-frame "
+                        "container here; compressed codecs need a real "
+                        "decoder (pyav/ffmpeg), not present in this "
+                        "environment"
+                    )
+                n = int.from_bytes(b[2:4], "big")
+                w = int.from_bytes(b[4:6], "big")
+                h = int.from_bytes(b[6:8], "big")
+                body = b[8:]
+                fs = w * h
+                for i in range(0, n, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    frames.append(body[i * fs : (i + 1) * fs])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(go, schema=VIDEO_FRAME_SCHEMA)

@@ -536,3 +536,31 @@ def test_job_schema_gate(spark, tmp_path):
     # conformed input: violations parquet ts column carries the contract type
     viol = spark.read.parquet(str(tmp_path / "conform_out" / "violations"))
     assert viol.schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_frame_sample_rawv_extraction(spark):
+    """RAWV frame sampling: sampled frames are byte-identical to the source
+    slices, cadence is every_n with frame 0 always included, NULL payloads
+    yield nothing, and compressed/unknown containers raise (stubbed codec)."""
+    from pyspark.sql.types import BinaryType, LongType
+
+    from fsharp_data_validation_spark.operators.multimodal import (
+        frame_sample,
+        make_fake_video_payload,
+    )
+
+    p1 = make_fake_video_payload(7, 8, 6, seed=1)   # 7 frames of 48 bytes
+    p2 = make_fake_video_payload(1, 4, 4, seed=2)
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    df = spark.createDataFrame([(1, p1), (2, p2), (3, None)], schema)
+    out = {(r["media_id"], r["frame_idx"]): r for r in frame_sample(df, 3).collect()}
+    assert sorted(out) == [(1, 0), (1, 3), (1, 6), (2, 0)]
+    body = p1[8:]
+    assert bytes(out[(1, 3)]["frame"]) == body[3 * 48 : 4 * 48]
+    assert (out[(1, 0)]["width"], out[(1, 0)]["height"]) == (8, 6)
+
+    bad = spark.createDataFrame([(9, b"\x00\x00\x01\xb3fakempeg????")], schema)
+    with pytest.raises(Exception, match="NotImplementedError|RAWV"):
+        frame_sample(bad, 3).collect()
