@@ -268,8 +268,10 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     feats2 = {r["media_id"]: r["features"] for r in byte_histogram_features(df).collect()}
     assert feats == feats2
-    with pytest.raises(NotImplementedError):
-        frame_sample(df)
+    # image payloads are not a RAWV video container: the codec stub now
+    # raises lazily, per payload, at execution time
+    with pytest.raises(Exception, match="RAWV|NotImplementedError"):
+        frame_sample(df).collect()
 
 
 def test_job_entry_main(spark, tmp_path):
