@@ -25,6 +25,7 @@ from fsharp_data_validation_spark.operators.crossrow import (
     uniqueness_violations,
 )
 from fsharp_data_validation_spark.operators.drift import (
+    js_joined,
     ks_joined,
     psi_joined,
     split_histograms,
@@ -186,6 +187,13 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS statistic on the same split (max |ECDF diff| over buckets)."""
     t = _transcripts(spark, sf_dir).select(F.length("text").alias("text_len"), "ts")
     return ks_joined(split_histograms(t, "text_len", "ts", 10.0, 20))
+
+
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence on the same split (bounded, symmetric —
+    operators/drift.py:js_joined)."""
+    t = _transcripts(spark, sf_dir).select(F.length("text").alias("text_len"), "ts")
+    return js_joined(split_histograms(t, "text_len", "ts", 10.0, 20))
 
 
 def _ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,6 +976,19 @@ def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_context_windows(_transcripts(spark, sf_dir), "conv_id", "turn_idx", "text", 64)
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-line removal (CCNet-style), demonstrated on a
+    line-per-word rendering of the docs corpus so duplicates exist
+    (operators/text.py:dedup_lines — row-local HOF, zero shuffle)."""
+    from fsharp_data_validation_spark.operators.text import dedup_lines
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    d = load_docs(spark, sf_dir).select(
+        "doc_id", F.translate(F.col("text"), " ", "\n").alias("text")
+    )
+    return dedup_lines(d, "doc_id", "text")
+
+
 def q_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking (width 16, stride 8) over the docs
     corpus — row-local sequence+posexplode+slice, zero shuffle
@@ -1011,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest": q_tdigest,
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
+        "js_drift": q_js_drift,
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
         "quantiles_by_day": q_quantiles_by_day,
@@ -1035,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_containment": q_ngram_containment,
         "pack_windows": q_pack_windows,
         "chunk_text": q_chunk_text,
+        "dedup_lines": q_dedup_lines,
         "q1_pricing": q_q1_pricing,
         "q3_shipping": q_q3_shipping,
         "dedup_exact": q_dedup_exact,
@@ -1349,6 +1372,24 @@ def oracle_sql() -> dict[str, str]:
               FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
             )
             SELECT ROUND(SUM((p - q) * LN(p / q)), 4) AS psi FROM (
+              SELECT GREATEST(na * 1.0 / (SELECT SUM(na) FROM j), 1e-6) AS p,
+                     GREATEST(nb * 1.0 / (SELECT SUM(nb) FROM j), 1e-6) AS q
+              FROM j
+            ) t
+            """
+        ),
+        "js_drift": with_transcripts(
+            f"""
+            , m AS ({_MID_SQL})
+            , ha AS ({_HIST_SQL.format(op='<')})
+            , hb AS ({_HIST_SQL.format(op='>=')})
+            , j AS (
+              SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+                     COALESCE(ha.n, 0) AS na, COALESCE(hb.n, 0) AS nb
+              FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+            )
+            SELECT ROUND(SUM(0.5 * p * LN(p / ((p + q) / 2))
+                           + 0.5 * q * LN(q / ((p + q) / 2))), 4) AS js FROM (
               SELECT GREATEST(na * 1.0 / (SELECT SUM(na) FROM j), 1e-6) AS p,
                      GREATEST(nb * 1.0 / (SELECT SUM(nb) FROM j), 1e-6) AS q
               FROM j
@@ -1859,6 +1900,18 @@ SELECT id_a, id_b, containment FROM (
         # independent spec of sliding-window chunking: DuckDB 1-based
         # inclusive list slices over unnested start offsets (width 16,
         # stride 8; docs with NULL text yield no chunks on both engines)
+        # independent spec of first-occurrence line dedup: 1-based list
+        # comprehension keeping positions where list_position == own index
+        "dedup_lines": with_docs(
+            ", d AS (SELECT doc_id, "
+            "string_split(replace(text, ' ', chr(10)), chr(10)) AS l FROM docs)"
+            ", k AS (SELECT doc_id, l, "
+            "[l[i] for i in range(1, len(l) + 1) if list_position(l, l[i]) = i] AS kept "
+            "FROM d) "
+            "SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text, "
+            "CAST(len(l) AS BIGINT) AS n_lines, "
+            "CAST(len(l) - len(kept) AS BIGINT) AS n_dupe_lines FROM k"
+        ),
         "chunk_text": with_docs(
             ", t AS ("
             "  SELECT doc_id, string_split(text, ' ') AS toks, "

@@ -218,3 +218,24 @@ def ks_by_group(
         )
         .select(F.col("grp").alias(group_col), "n_rows", "ks")
     )
+
+
+def js_joined(j: DataFrame, round_to: int = 4) -> DataFrame:
+    """Jensen-Shannon divergence over a joined histogram (bucket, na, nb):
+    0.5*KL(p||m) + 0.5*KL(q||m) with m = (p+q)/2, natural log, the same
+    epsilon-clamped proportions as ``psi_joined``. Bounded [0, ln 2] and
+    symmetric — the drift score to use when PSI's unboundedness on
+    vanishing buckets is unwanted. Returns a single row (js)."""
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    p = F.greatest(F.col("na") / F.sum("na").over(wall), F.lit(EPS))
+    q = F.greatest(F.col("nb") / F.sum("nb").over(wall), F.lit(EPS))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return j.select(term.alias("term")).agg(
+        F.round(F.sum("term"), round_to).alias("js")
+    )
+
+
+def js(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
+    """Jensen-Shannon divergence between two separate histograms."""
+    return js_joined(_joined_hist(hist_a, hist_b), round_to)

@@ -362,3 +362,24 @@ def encoding_quality(df: DataFrame, id_col: str, text_col: str, round_to: int = 
             "ascii_ratio"
         ),
     )
+
+
+def dedup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repeated-line removal (CCNet-style preprocessing):
+    keep the FIRST occurrence of each line, preserving order. Returns
+    (id, clean_text, n_lines, n_dupe_lines); NULL text propagates NULLs.
+
+    Row-local array expressions — a 2-arg ``filter`` lambda receives
+    (element, index) and keeps a line iff ``array_position`` (first
+    occurrence, 1-based) equals its own position. HOF lambdas run
+    interpreted (see BENCH.md), but this is one pass over a doc's line
+    array with no aggregation — the row-local form is the right shape
+    (zero shuffle, embarrassingly parallel)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda x, i: F.array_position(lines, x) == i + 1)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dupe_lines"),
+    )

@@ -821,3 +821,24 @@ def test_hll_sketch_rollup_merge_property(spark):
     ).collect()[0]["d"]
     assert whole["distinct_estimate"] == one_shot
     sk.unpersist()
+
+
+def test_dedup_lines_first_occurrence(spark):
+    """Line dedup keeps FIRST occurrences in order, counts removals,
+    passes unique text through unchanged, and propagates NULL."""
+    from fsharp_data_validation_spark.operators.text import dedup_lines
+
+    rows = [
+        Row(id=1, text="a\nb\na\nc\nb\na"),
+        Row(id=2, text="only\nunique\nlines"),
+        Row(id=3, text=None),
+        Row(id=4, text=""),
+    ]
+    out = {r["id"]: r for r in dedup_lines(
+        spark.createDataFrame(rows), "id", "text").collect()}
+    assert out[1]["clean_text"] == "a\nb\nc"
+    assert out[1]["n_lines"] == 6 and out[1]["n_dupe_lines"] == 3
+    assert out[2]["clean_text"] == "only\nunique\nlines"
+    assert out[2]["n_dupe_lines"] == 0
+    assert out[3]["clean_text"] is None and out[3]["n_lines"] is None
+    assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 1
