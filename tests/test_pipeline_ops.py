@@ -842,3 +842,54 @@ def test_dedup_lines_first_occurrence(spark):
     assert out[2]["n_dupe_lines"] == 0
     assert out[3]["clean_text"] is None and out[3]["n_lines"] is None
     assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 1
+
+
+def test_pack_windows_fuzz_vs_python_reference(spark):
+    """Seeded structural fuzz: random corpora (duplicate turn indexes,
+    NULL/empty texts, over-budget turns, many conversations) packed by the
+    Spark operator must equal an independent pure-Python implementation of
+    the greedy recurrence."""
+    import random
+
+    from fsharp_data_validation_spark.operators.text import pack_context_windows
+
+    rng = random.Random(42)
+    for trial in range(4):
+        budget = rng.choice([1, 5, 16])
+        rows = []
+        for c in range(rng.randint(1, 8)):
+            for t in range(rng.randint(1, 25)):
+                r = rng.random()
+                if r < 0.1:
+                    text = None
+                elif r < 0.2:
+                    text = ""
+                else:
+                    text = " ".join("w" for _ in range(rng.randint(1, 24)))
+                # ~20% duplicated turn_idx to exercise the (turn_idx, text)
+                # tiebreak
+                idx = t if rng.random() > 0.2 else max(0, t - 1)
+                rows.append((f"c{c}", idx, text))
+        df = spark.createDataFrame(rows, "conv_id STRING, turn_idx INT, text STRING")
+
+        want = []
+        by_conv = {}
+        for conv, idx, text in rows:
+            by_conv.setdefault(conv, []).append((idx, text))
+        for conv, turns in by_conv.items():
+            turns.sort(key=lambda p: (p[0], p[1] if p[1] is not None else ""))
+            chunk, acc = 1, 0
+            for rn, (idx, text) in enumerate(turns, 1):
+                n = 0 if text is None else len(text.split(" "))
+                if acc > 0 and acc + n > budget:
+                    chunk, acc = chunk + 1, n
+                else:
+                    acc += n
+                want.append((conv, rn, idx, n, chunk))
+
+        got = sorted(
+            tuple(r)
+            for r in pack_context_windows(df, "conv_id", "turn_idx", "text", budget)
+            .collect()
+        )
+        assert got == sorted(want), f"trial {trial} budget {budget}"
