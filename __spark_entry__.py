@@ -253,6 +253,19 @@ def q_psi_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_by_group(t, "part_date", "text_len", 25.0, 20)
 
 
+def q_js_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Jensen-Shannon divergence vs the whole-table baseline
+    (one-scan grid shape, operators/drift.py:js_by_group)."""
+    from fsharp_data_validation_spark.operators.drift import js_by_group
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.to_date("ts").alias("part_date"), F.length("text").alias("text_len"))
+    )
+    return js_by_group(t, "part_date", "text_len", 25.0, 20)
+
+
 def q_ks_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition KS: each day's turn-length ECDF vs the whole-table
     baseline (same one-scan grid shape as psi_by_day)."""
@@ -1038,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_by_day": q_quantiles_by_day,
         "psi_by_day": q_psi_by_day,
         "ks_by_day": q_ks_by_day,
+        "js_by_day": q_js_by_day,
         "element_suite": q_element_suite,
         "nested_suite": q_nested_suite,
         "each_nested": q_each_nested,
@@ -1472,6 +1486,32 @@ def oracle_sql() -> dict[str, str]:
                              * LN(GREATEST(n * 1.0 / tg, 0.000001)
                                   / GREATEST(gn * 1.0 / t, 0.000001))), 4) AS psi
             FROM j CROSS JOIN tot GROUP BY grp
+            """
+        ),
+        "js_by_day": with_transcripts(
+            """
+            , per AS (
+              SELECT CAST(ts AS DATE) AS grp,
+                     LEAST(GREATEST(CAST(FLOOR(length(text) / 25.0) AS INT), 0), 19) AS bucket,
+                     COUNT(*) AS n
+              FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2
+            ), gbase AS (SELECT bucket, SUM(n) AS gn FROM per GROUP BY 1),
+            tg AS (SELECT grp, SUM(n) AS tg FROM per GROUP BY 1),
+            tot AS (SELECT SUM(n) AS t FROM per),
+            grid AS (SELECT tg.grp, tg.tg, gbase.bucket, gbase.gn FROM tg CROSS JOIN gbase),
+            j AS (
+              SELECT g.grp, g.tg, g.gn, COALESCE(per.n, 0) AS n
+              FROM grid g LEFT JOIN per ON per.grp = g.grp AND per.bucket = g.bucket
+            ), pq AS (
+              SELECT grp, tg,
+                     GREATEST(n * 1.0 / tg, 0.000001) AS p,
+                     GREATEST(gn * 1.0 / t, 0.000001) AS q
+              FROM j CROSS JOIN tot
+            )
+            SELECT grp AS part_date, CAST(MIN(tg) AS BIGINT) AS n_rows,
+                   ROUND(SUM(0.5 * p * LN(p / ((p + q) / 2))
+                           + 0.5 * q * LN(q / ((p + q) / 2))), 4) AS js
+            FROM pq GROUP BY grp
             """
         ),
         "ks_by_day": with_transcripts(

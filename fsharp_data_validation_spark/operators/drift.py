@@ -239,3 +239,49 @@ def js_joined(j: DataFrame, round_to: int = 4) -> DataFrame:
 def js(hist_a: DataFrame, hist_b: DataFrame, round_to: int = 4) -> DataFrame:
     """Jensen-Shannon divergence between two separate histograms."""
     return js_joined(_joined_hist(hist_a, hist_b), round_to)
+
+
+def js_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-partition Jensen-Shannon divergence of each group's value
+    distribution against the whole-table baseline — the same ONE-scan
+    grid-complete shape as ``psi_by_group`` (see its scale notes), with the
+    bounded symmetric JS term instead of PSI. Returns (group, n_rows, js)."""
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    glob = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
+    tot = per.agg(F.sum("n").alias("t"))
+    grid = tg.crossJoin(F.broadcast(glob))
+    j = (
+        grid.join(per, ["grp", "bucket"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.greatest(F.col("n") / F.col("tg"), F.lit(EPS))
+    q = F.greatest(F.col("gn") / F.col("t"), F.lit(EPS))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return (
+        j.select("grp", "tg", term.alias("term"))
+        .groupBy("grp")
+        .agg(
+            F.first("tg").alias("n_rows"),
+            F.round(F.sum("term"), round_to).alias("js"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "js")
+    )
