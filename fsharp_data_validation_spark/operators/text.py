@@ -1,6 +1,11 @@
 """Text-analysis operators for training-data pipelines: token counting,
-quality scoring, language-ID heuristic, document fingerprinting. All
-built-in column expressions (JVM-side, whole-stage codegen) — no Python.
+quality scoring, language-ID heuristic, document fingerprinting, PII
+redaction, repetition/encoding hygiene, line dedup, chunking, packing,
+and the composed curation pipeline. Everything is built-in column
+expressions (JVM-side, whole-stage codegen) except the one genuinely
+sequential op — ``pack_context_windows`` (Arrow-batched ``mapInPandas``
+with carried per-conversation state) — which is Arrow-vectorized, never
+row-at-a-time Python.
 """
 
 from __future__ import annotations
