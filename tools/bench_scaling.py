@@ -159,6 +159,40 @@ def run_curate(cores: int, iters: int = 3) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def run_pack(cores: int, iters: int = 3) -> dict:
+    """Greedy context-window packing (the custom stateful Arrow op) at
+    local[cores] on the synthetic transcript table — evidences that the
+    mapInPandas + carried-state shape scales, not just pure-JVM plans."""
+    from fsharp_data_validation_spark.operators.text import pack_context_windows
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_pack_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = spark.read.parquet(DATA_DIR)
+    n = t.count()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        pack_context_windows(t, "conv_id", "turn_idx", "text", 64).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
+
+
 def run_suite(cores: int, iters: int = 3) -> dict:
     """One full-constraint-suite pass at local[cores]; prints JSON."""
     from pyspark.sql import functions as F
@@ -285,12 +319,13 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--mode", choices=["suite", "dedup", "curate"], default="suite")
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     args = ap.parse_args()
 
     if args.run:
-        fn = {"dedup": run_dedup, "curate": run_curate, "suite": run_suite}[args.mode]
+        fn = {"dedup": run_dedup, "curate": run_curate, "pack": run_pack,
+              "suite": run_suite}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
@@ -324,6 +359,7 @@ def main() -> None:
     metric = {
         "dedup": "near-dup docs/sec, MinHash(32)+16x2-band LSH + exact verify",
         "curate": "curated docs/sec, composed curation pipeline",
+        "pack": "packed turns/sec, stateful context-window packing (mapInPandas)",
         "suite": "validated turns/sec, full constraint suite",
     }[args.mode]
     summary = {
@@ -351,13 +387,17 @@ def main() -> None:
         "the scan stage -> exact-dedup keep-first window on md5(text), ONE shuffle "
         f"-> deterministic hash train/test split) on the same synthetic corpus "
         f"({summary['turns']:,} docs, `tools/bench_scaling.py gen_docs`)",
+        "pack": "greedy context-window packing (JVM-side token counts -> hash "
+        "repartition by conv_id -> sorted mapInPandas with cross-batch carried "
+        f"state) on the synthetic transcript table ({summary['turns']:,} turns)",
         "suite": "full constraint suite (row refute/dispute suite -> violations+valid, "
         "uniqueness, referential broadcast anti-join, ordering window, column profile "
         f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
         f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
         "violations, 128 files)",
     }[args.mode]
-    unit = "validated turns/sec" if args.mode == "suite" else "docs/sec"
+    unit = ("validated turns/sec" if args.mode == "suite"
+            else "turns/sec" if args.mode == "pack" else "docs/sec")
     section = (
         f"\n## {summary['metric']}\n\n"
         f"Same job — {job_desc} — at two parallelism levels, one fresh JVM per level; "
