@@ -524,6 +524,19 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group upsampling (rare-language upweighting):
+    fr gets 2.5x, zh 1.25x, the rest 1x — row-local fan-out via
+    posexplode(sequence), zero shuffle (operators/sampling.py:
+    replicate_sample)."""
+    from fsharp_data_validation_spark.operators.sampling import replicate_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return replicate_sample(
+        load_docs(spark, sf_dir), "lang", "doc_id", {"fr": 2.5, "zh": 1.25}
+    ).select("doc_id", "lang", "copy_idx")
+
+
 def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mojibake / control-char / ASCII-ratio encoding hygiene signals —
     pure column regexes, zero shuffle (operators/text.py:encoding_quality)."""
@@ -1087,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         "schema_report": q_schema_report,
         "temp_sample": q_temp_sample,
+        "upsample": q_upsample,
         "vocab_stats": q_vocab_stats,
         "top_words": q_top_words,
         "minhash_lsh": q_minhash_lsh,
@@ -1888,6 +1902,24 @@ SELECT id_a, id_b, containment FROM (
             "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
             "CAST(('0x' || substr(md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), "
             "doc_id) AS BIGINT) AS \"rank\" FROM docs"
+        ),
+        # independent spec of deterministic upsampling: k = floor(f) +
+        # (hash below the fractional-part threshold), fanned via range()
+        "upsample": with_docs(
+            ", f AS ("
+            "  SELECT doc_id, lang, "
+            "    CAST(CASE lang WHEN 'fr' THEN 2.5 WHEN 'zh' THEN 1.25 "
+            "         ELSE 1.0 END AS DOUBLE) AS fac "
+            "  FROM docs"
+            "), k AS ("
+            "  SELECT doc_id, lang, CAST(FLOOR(fac) AS BIGINT) + "
+            "    CASE WHEN CAST(('0x' || substr(md5('upsample' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+            "         < CAST(FLOOR(ROUND(fac - FLOOR(fac), 6) * 1152921504606846976.0) AS BIGINT) "
+            "    THEN 1 ELSE 0 END AS k "
+            "  FROM f"
+            ") "
+            "SELECT doc_id, lang, CAST(i AS BIGINT) AS copy_idx "
+            "FROM (SELECT doc_id, lang, unnest(range(1, k + 1)) AS i FROM k WHERE k > 0)"
         ),
         "encoding_quality": with_docs(
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

@@ -183,3 +183,53 @@ def global_shuffle(
         .withColumn("rank", (F.col("_off") + F.row_number().over(wrank)).cast("bigint"))
         .drop("_h", "_bkt", "_off")
     )
+
+
+def replicate_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    factors: dict,
+    default_factor: float = 1.0,
+    salt: str = "upsample",
+) -> DataFrame:
+    """Deterministic per-group UP-sampling (the other half of corpus
+    rebalancing — ``quota_sample``/``temperature_sample`` only keep rates
+    <= 1): replicate each row of group g ``floor(f_g)`` times plus one more
+    with probability ``frac(f_g)`` decided by the salted row hash, so the
+    expected copy count per row is exactly ``f_g``. Returns the input rows
+    with a ``copy_idx`` column (1..k); f_g < 1 behaves like quota sampling
+    (rows keep 0 or 1 copies).
+
+    Row-local: the per-row copy count is a CASE expression over the group
+    plus one hash compare, fanned out with ``posexplode(sequence(...))`` —
+    no shuffle, no skew beyond the factor itself, and reproducible across
+    runs and cluster sizes (a seeded ``DataFrame.sample``-then-union is
+    neither reproducible under repartitioning nor exact per group)."""
+    factor = None
+    for g, f in sorted(factors.items()):
+        cond = F.col(group_col) == F.lit(g)
+        lit = F.lit(float(f))
+        factor = F.when(cond, lit) if factor is None else factor.when(cond, lit)
+    factor = (
+        factor.otherwise(F.lit(float(default_factor)))
+        if factor is not None
+        else F.lit(float(default_factor))
+    )
+    h = md5_int(F.col(id_col).cast("string"), salt=salt)
+    base = F.floor(factor).cast("bigint")
+    frac = factor - F.floor(factor)
+    extra = (
+        h < (F.round(frac, 6) * F.lit(float(_MD5_15_MAX))).cast("bigint")
+    ).cast("bigint")
+    k = (base + extra).alias("_k")
+    fanned = df.withColumn("_k", k).filter(F.col("_k") > 0)
+    return (
+        fanned.select(
+            "*",
+            F.posexplode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("_k"))
+            ).alias("_i", "copy_idx"),
+        )
+        .drop("_k", "_i")
+    )

@@ -893,3 +893,27 @@ def test_pack_windows_fuzz_vs_python_reference(spark):
             .collect()
         )
         assert got == sorted(want), f"trial {trial} budget {budget}"
+
+
+def test_replicate_sample_expected_copies(spark):
+    """Upsampling: integer factor replicates exactly; fractional factor
+    replicates floor(f) + Bernoulli(frac) with expectation ~f; factor 0
+    drops the group; copy_idx enumerates 1..k; deterministic."""
+    from fsharp_data_validation_spark.operators.sampling import replicate_sample
+
+    df = spark.range(0, 3000).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' ELSE 'c' END AS grp"
+    )
+    out = replicate_sample(df, "grp", "id", {"a": 3.0, "b": 1.5, "c": 0.0})
+    by = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert by["a"] == 3000                       # exactly 3x 1000 rows
+    assert 1350 <= by["b"] <= 1650               # ~1.5x 1000
+    assert "c" not in by
+    idxs = sorted(
+        r["copy_idx"]
+        for r in out.filter("grp = 'a' AND id = 0").collect()
+    )
+    assert idxs == [1, 2, 3]
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, replicate_sample(df, "grp", "id", {"a": 3.0, "b": 1.5, "c": 0.0}).collect())
+    )
