@@ -524,6 +524,16 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture report: per-(lang, source) docs, tokens, and token
+    share — one hash aggregate + a window over its |groups|-row output
+    (operators/text.py:mixture_report)."""
+    from fsharp_data_validation_spark.operators.text import mixture_report
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return mixture_report(load_docs(spark, sf_dir), ["lang", "source"])
+
+
 def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-group upsampling (rare-language upweighting):
     fr gets 2.5x, zh 1.25x, the rest 1x — row-local fan-out via
@@ -1101,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_report": q_schema_report,
         "temp_sample": q_temp_sample,
         "upsample": q_upsample,
+        "mixture": q_mixture,
         "vocab_stats": q_vocab_stats,
         "top_words": q_top_words,
         "minhash_lsh": q_minhash_lsh,
@@ -1902,6 +1913,16 @@ SELECT id_a, id_b, containment FROM (
             "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY "
             "CAST(('0x' || substr(md5('shuffle' || '|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), "
             "doc_id) AS BIGINT) AS \"rank\" FROM docs"
+        ),
+        "mixture": with_docs(
+            ", a AS ("
+            "  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "    CAST(SUM(CASE WHEN text IS NULL THEN 0 "
+            "             ELSE len(string_split(text, ' ')) END) AS BIGINT) AS n_tokens "
+            "  FROM docs GROUP BY lang, source"
+            ") "
+            "SELECT lang, source, n_docs, n_tokens, "
+            "  ROUND(n_tokens * 1.0 / SUM(n_tokens) OVER (), 6) AS token_share FROM a"
         ),
         # independent spec of deterministic upsampling: k = floor(f) +
         # (hash below the fractional-part threshold), fanned via range()

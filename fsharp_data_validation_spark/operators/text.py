@@ -388,3 +388,36 @@ def dedup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(lines).cast("bigint").alias("n_lines"),
         (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dupe_lines"),
     )
+
+
+def mixture_report(
+    df: DataFrame,
+    group_cols,
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Data-mixture report — the per-source/language accounting every
+    training run publishes: docs, whitespace tokens, and each group's share
+    of corpus tokens. ONE partial+final hash aggregate over the corpus
+    (token counting is a row-local expression inside it); the share comes
+    from a whole-relation window over the tiny aggregate output (|groups|
+    rows), not a second scan."""
+    from pyspark.sql import Window
+
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    agg = df.groupBy(*gs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col(text_col).isNull(), 0).otherwise(n_tok))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return agg.select(
+        *gs,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall), round_to
+        ).alias("token_share"),
+    )
