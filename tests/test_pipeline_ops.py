@@ -917,3 +917,27 @@ def test_replicate_sample_expected_copies(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, replicate_sample(df, "grp", "id", {"a": 3.0, "b": 1.5, "c": 0.0}).collect())
     )
+
+
+def test_mixture_report_shares_sum_to_one(spark):
+    """Mixture report: per-group token counts are exact, shares sum to ~1,
+    NULL text counts 0 tokens."""
+    from fsharp_data_validation_spark.operators.text import mixture_report
+
+    rows = [
+        Row(lang="en", src="web", text="a b c"),
+        Row(lang="en", src="web", text="d e"),
+        Row(lang="fr", src="book", text="x"),
+        Row(lang="fr", src="book", text=None),
+    ]
+    out = {
+        (r["lang"], r["src"]): r
+        for r in mixture_report(
+            spark.createDataFrame(rows), ["lang", "src"]
+        ).collect()
+    }
+    assert out[("en", "web")]["n_tokens"] == 5
+    assert out[("fr", "book")]["n_docs"] == 2
+    assert out[("fr", "book")]["n_tokens"] == 1
+    assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-6
+    assert out[("en", "web")]["token_share"] == round(5 / 6, 6)
