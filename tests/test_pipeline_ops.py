@@ -941,3 +941,59 @@ def test_mixture_report_shares_sum_to_one(spark):
     assert out[("fr", "book")]["n_tokens"] == 1
     assert abs(sum(r["token_share"] for r in out.values()) - 1.0) < 1e-6
     assert out[("en", "web")]["token_share"] == round(5 / 6, 6)
+
+
+def test_schema_violations_fuzz_partition_property():
+    """Hypothesis fuzz (pure Python, no Spark): for random actual/expected
+    schema pairs, the report covers every expected column exactly once plus
+    every extra actual column; an all-ok report implies identical
+    name->type mapping with no nullability relaxations."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from fsharp_data_validation_spark.functions.schema_contract import (
+        schema_violations,
+    )
+
+    types = st.sampled_from([IntegerType(), StringType(), DoubleType()])
+    field = st.tuples(st.sampled_from("abcdef"), types, st.booleans())
+
+    def mk(fields):
+        seen, out = set(), []
+        for name, t, nullable in fields:
+            if name not in seen:
+                seen.add(name)
+                out.append(StructField(name, t, nullable))
+        return StructType(out)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(field, max_size=6), st.lists(field, max_size=6))
+    def check(actual_fields, expected_fields):
+        actual, expected = mk(actual_fields), mk(expected_fields)
+        report = schema_violations(actual, expected)
+        exp_names = {f.name for f in expected.fields}
+        act_names = {f.name for f in actual.fields}
+        assert [v["column"] for v in report if v["status"] != "extra"] == [
+            f.name for f in expected.fields
+        ]
+        assert {v["column"] for v in report if v["status"] == "extra"} == (
+            act_names - exp_names
+        )
+        assert {v["column"] for v in report if v["status"] == "missing"} == (
+            exp_names - act_names
+        )
+        if all(v["status"] == "ok" for v in report):
+            assert act_names == exp_names
+            for f in expected.fields:
+                a = actual[f.name]
+                assert a.dataType == f.dataType
+                assert f.nullable or not a.nullable
+
+    check()
