@@ -75,6 +75,22 @@ def q_row_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_violation_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monitoring view of the suite: per-(day, path, code) violation counts
+    — the dashboard aggregation over the same single-projection suite run
+    (suite masks + one partial+final hash agg; no extra scan)."""
+    t = _transcripts(spark, sf_dir)
+    res = transcript_row_suite().run(t, KEY)
+    return (
+        res.violations.groupBy(
+            F.to_date("ts").alias("day"),
+            F.col("path_str").alias("path"),
+            "code",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_valid_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MergeSources collapse: rows with ANY failure emit no valid row."""
     t = _transcripts(spark, sf_dir)
@@ -1058,6 +1074,7 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "row_suite": q_row_suite,
+        "violation_trend": q_violation_trend,
         "valid_turns": q_valid_turns,
         "verdict": q_verdict,
         "uniqueness": q_uniqueness,
@@ -1339,6 +1356,15 @@ def oracle_sql() -> dict[str, str]:
     roles = _ROLES_SQL
     return {
         "row_suite": _ROW_SUITE_ORACLE,
+        "violation_trend": with_transcripts(
+            "SELECT CAST(ts AS DATE) AS day, path, code, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM (\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT ts, '{p}' AS path, '{c}' AS code FROM transcripts WHERE {w}"
+                for p, c, w in _FAIL_CONDS
+            )
+            + "\n) v GROUP BY 1, 2, 3"
+        ),
         "valid_turns": with_transcripts(
             f"SELECT role, COUNT(*) AS n_valid FROM transcripts WHERE ({_NF_EXPR}) = 0 GROUP BY role"
         ),
