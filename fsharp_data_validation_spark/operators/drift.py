@@ -149,6 +149,13 @@ def psi_by_group(
         .select(F.col(group_col).alias("grp"), b.alias("bucket"))
         .groupBy("grp", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        # four plan branches (baseline, per-group totals, grand total, grid
+        # join-back) each re-plan this subtree from the SOURCE — without a
+        # persist the fact table is physically scanned once per branch
+        # (verified in the executed plan). The aggregate is |groups|x|buckets|
+        # rows (KBs at any input scale), so caching it makes the whole grid
+        # ONE data scan + arithmetic on the cached relation.
+        .persist()
     )
     glob = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
     tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
@@ -193,6 +200,13 @@ def ks_by_group(
         .select(F.col(group_col).alias("grp"), b.alias("bucket"))
         .groupBy("grp", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        # four plan branches (baseline, per-group totals, grand total, grid
+        # join-back) each re-plan this subtree from the SOURCE — without a
+        # persist the fact table is physically scanned once per branch
+        # (verified in the executed plan). The aggregate is |groups|x|buckets|
+        # rows (KBs at any input scale), so caching it makes the whole grid
+        # ONE data scan + arithmetic on the cached relation.
+        .persist()
     )
     gbase = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
     tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
@@ -262,6 +276,13 @@ def js_by_group(
         .select(F.col(group_col).alias("grp"), b.alias("bucket"))
         .groupBy("grp", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        # four plan branches (baseline, per-group totals, grand total, grid
+        # join-back) each re-plan this subtree from the SOURCE — without a
+        # persist the fact table is physically scanned once per branch
+        # (verified in the executed plan). The aggregate is |groups|x|buckets|
+        # rows (KBs at any input scale), so caching it makes the whole grid
+        # ONE data scan + arithmetic on the cached relation.
+        .persist()
     )
     glob = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
     tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))

@@ -257,3 +257,21 @@ def test_pack_windows_single_shuffle(spark):
     assert n_exchanges == 1, plan
     assert "MapInPandas" in plan
     assert "hashpartitioning(conv_id" in plan
+
+
+def test_by_group_drift_grids_scan_once(spark, sf):
+    """The per-day drift grids (PSI/KS/JS vs the global baseline) must read
+    the data source once: the (group, bucket) aggregate is persisted, so
+    the four consuming branches (baseline, per-group totals, grand total,
+    grid join-back) are InMemoryTableScans over the KB-scale cache — the
+    parquet scan executes only inside the single cache materialization.
+    (Without the persist each branch re-planned the subtree from the
+    source: 4+ physical scans, verified before the fix.)"""
+    import __spark_entry__ as e
+
+    for q in (e.q_psi_by_day, e.q_ks_by_day, e.q_js_by_day):
+        df = q(spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, q.__name__
+        spark.catalog.clearCache()
