@@ -123,7 +123,11 @@ def temperature_sample(
     group domain ~ languages, tiny), a 1-row broadcast for the normalizer,
     a broadcast join of the rate table, and a row-local filter — the data
     itself is never shuffled. Output adds ``keep_rate``."""
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g"))
+    # two consumers (the normalizer aggregate and the rate projection)
+    # would each re-plan this subtree from the source — persist the
+    # |groups|-row aggregate so the corpus is read once for counting and
+    # once for the filter pass (the minimum without caching the corpus)
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g")).persist()
     tot = counts.agg(
         F.sum(F.pow(F.col("_n_g").cast("double"), F.lit(tau))).alias("_wsum"),
         F.sum("_n_g").alias("_N"),
@@ -165,8 +169,12 @@ def global_shuffle(
     (row_number within the bucket). The bucket-offset table is B rows —
     computed with one tiny aggregate + window cumsum and broadcast back, so
     the big table is shuffled exactly once (by bucket) and every window
-    sort is 1/B of the corpus. Output: df + (rank). Equals the naive form
-    exactly (pinned by the oracle query)."""
+    sort is 1/B of the corpus. The source is READ twice — a column-pruned
+    pass (id only) for the bucket counts and the full pass for the ranked
+    output — the classic 2-pass distributed rank; collapsing to one read
+    would mean caching the whole corpus, which does not scale. Output:
+    df + (rank). Equals the naive form exactly (pinned by the oracle
+    query)."""
     h = md5_int(F.col(id_col).cast("string"), salt=salt)
     width = _MD5_15_MAX // n_buckets + 1
     bucketed = df.withColumn("_h", h).withColumn(
