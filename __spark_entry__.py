@@ -212,6 +212,16 @@ def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_joined(split_histograms(t, "text_len", "ts", 10.0, 20))
 
 
+def q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance on the same split — integral of
+    |CDF difference| over the DENSIFIED bucket grid
+    (operators/drift.py:w1_joined)."""
+    from fsharp_data_validation_spark.operators.drift import w1_joined
+
+    t = _transcripts(spark, sf_dir).select(F.length("text").alias("text_len"), "ts")
+    return w1_joined(split_histograms(t, "text_len", "ts", 10.0, 20), 20, 10.0)
+
+
 def _ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation inter-turn gap in whole seconds (lag window over
     (turn_idx, ts) — the ts-gap profile the north rule's drift check runs
@@ -1086,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "ks_drift": q_ks_drift,
         "js_drift": q_js_drift,
+        "w1_drift": q_w1_drift,
         "ts_gap_psi": q_ts_gap_psi,
         "ts_gap_ks": q_ts_gap_ks,
         "quantiles_by_day": q_quantiles_by_day,
@@ -1457,6 +1468,27 @@ def oracle_sql() -> dict[str, str]:
                            + 0.5 * q * LN(q / ((p + q) / 2))), 4) AS js FROM (
               SELECT GREATEST(na * 1.0 / (SELECT SUM(na) FROM j), 1e-6) AS p,
                      GREATEST(nb * 1.0 / (SELECT SUM(nb) FROM j), 1e-6) AS q
+              FROM j
+            ) t
+            """
+        ),
+        "w1_drift": with_transcripts(
+            f"""
+            , m AS ({_MID_SQL})
+            , ha AS ({_HIST_SQL.format(op='<')})
+            , hb AS ({_HIST_SQL.format(op='>=')})
+            , grid AS (SELECT unnest(range(0, 20)) AS bucket)
+            , j AS (
+              SELECT grid.bucket,
+                     COALESCE(ha.n, 0) AS na, COALESCE(hb.n, 0) AS nb
+              FROM grid LEFT JOIN ha ON ha.bucket = grid.bucket
+                        LEFT JOIN hb ON hb.bucket = grid.bucket
+            )
+            SELECT ROUND(SUM(ABS(ca * 1.0 / (SELECT SUM(na) FROM j)
+                               - cb * 1.0 / (SELECT SUM(nb) FROM j))) * 10.0, 4) AS w1
+            FROM (
+              SELECT SUM(na) OVER (ORDER BY bucket) AS ca,
+                     SUM(nb) OVER (ORDER BY bucket) AS cb
               FROM j
             ) t
             """

@@ -306,3 +306,41 @@ def js_by_group(
         )
         .select(F.col("grp").alias(group_col), "n_rows", "js")
     )
+
+
+def w1_joined(
+    j: DataFrame, n_buckets: int, bucket_width: float = 1.0, round_to: int = 4
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance over a joined histogram
+    (bucket, na, nb): for 1-D distributions W1 = integral |CDF_a - CDF_b|,
+    which on fixed-width buckets is ``bucket_width * sum over ALL buckets
+    of |cum_a/tot_a - cum_b/tot_b|``. The joined histogram omits buckets
+    empty on BOTH sides, and unlike KS (a max, constant across such gaps) a
+    SUM must count them — e.g. two point masses at buckets 0 and 19 are
+    W1 = 19*width, not 1*width — so the 0..n_buckets-1 grid is densified
+    first. Exact for the bucketed distributions, no epsilon clamps (W1 is
+    finite on disjoint supports). Returns one row (w1)."""
+    full = j.sparkSession.range(0, n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    dj = full.join(j, "bucket", "left").fillna(0, ["na", "nb"])
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = F.abs(
+        F.sum("na").over(wcum) / F.sum("na").over(wall)
+        - F.sum("nb").over(wcum) / F.sum("nb").over(wall)
+    )
+    return dj.select(d.alias("d")).agg(
+        F.round(F.sum("d") * F.lit(float(bucket_width)), round_to).alias("w1")
+    )
+
+
+def w1(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    n_buckets: int,
+    bucket_width: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Wasserstein-1 distance between two separate histograms."""
+    return w1_joined(_joined_hist(hist_a, hist_b), n_buckets, bucket_width, round_to)
