@@ -43,11 +43,14 @@ def main() -> None:
 
     import __spark_entry__ as entry
 
+    from fsharp_data_validation_spark.cache import release_caches
+
     qs = entry.queries()
 
     # Warm the JVM + parquet footer caches once so per-query numbers
     # measure the plan, not first-touch overhead.
     force(qs["row_suite"](spark, sf_dir))
+    release_caches(spark, sweep_rdds=True)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -65,6 +68,10 @@ def main() -> None:
         except Exception as ex:  # never lose the whole bench to one query
             timings[name] = round(best, 4) if best is not None else -1.0
             print(f"[bench-error] {name}: {type(ex).__name__}: {ex}", file=sys.stderr)
+        finally:
+            # release the query's persisted intermediates + checkpoint
+            # residue so one query's storage never pressures the next
+            release_caches(spark, sweep_rdds=True)
 
     # Flagship throughput: validated turns/sec through the full row suite.
     from fsharp_data_validation_spark.sources.transcripts import derive_transcripts

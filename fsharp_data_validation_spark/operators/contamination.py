@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..cache import persist_tracked
 from .dedup import _shingle_sets, _verify_jaccard, shingles
 
 
@@ -42,8 +43,8 @@ def cross_contamination_pairs(
     rarest-first shingle ranking is one global order; a true pair's
     prefixes must intersect, and only prefix shingles enter the candidate
     join — restricted to (train x eval), never within a side."""
-    sets_t = _shingle_sets(train, id_col, text_col, n).persist()
-    sets_e = _shingle_sets(eval_df, id_col, text_col, n).persist()
+    sets_t = persist_tracked(_shingle_sets(train, id_col, text_col, n))
+    sets_e = persist_tracked(_shingle_sets(eval_df, id_col, text_col, n))
 
     ex_t = sets_t.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("sh1")

@@ -29,6 +29,8 @@ from __future__ import annotations
 import warnings
 from typing import List, Tuple
 
+from ..cache import persist_tracked, untrack
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 SIMHASH_BITS = 60  # keep signatures positive in a signed 64-bit integer
@@ -135,17 +137,17 @@ def ngram_jaccard_pairs(
     The shingle-set table feeds three plan branches (index build, a/b verify
     sides); it is persisted so the tokenize/shingle pass runs once — at real
     scale this is the materialized intermediate of the dedup pipeline stage."""
-    sets_df = _shingle_sets(df, id_col, text_col, n).persist()
+    sets_df = persist_tracked(_shingle_sets(df, id_col, text_col, n))
     ex = sets_df.select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("sh1"))
     dfreq = ex.groupBy("sh1").agg(F.count(F.lit(1)).alias("df"))
     # rank each doc's shingles rarest-first; keep the prefix
     w = Window.partitionBy("doc_id").orderBy("df", "sh1")
-    prefix = (
+    prefix = persist_tracked(  # both sides of the candidate self-join
         ex.join(dfreq, "sh1")
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= F.floor((1 - threshold) * F.col("n_sh")) + 1)
         .select("doc_id", "sh1")
-    ).persist()  # both sides of the candidate self-join
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -204,7 +206,7 @@ def minhash_lsh_pairs(
     # 32-bit shingle hashes: the LSH path's accuracy class already admits
     # ~1e-6 per-pair error (band construction), so the narrower hash is free
     # and halves the dominant cached/shuffled payload (see _shingle_sets).
-    sets_df = _shingle_sets(df, id_col, text_col, n, hash_bits=32).persist()
+    sets_df = persist_tracked(_shingle_sets(df, id_col, text_col, n, hash_bits=32))
     sig = minhash_signatures(sets_df, num_hashes)
     # all band keys in ONE pass over the signatures (explode of an array of
     # structs) — not a 16-way union, which would re-plan the signature
@@ -224,12 +226,11 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    buckets = (
+    buckets = persist_tracked(  # both sides of the bucket self-join share one sig pass
         sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bs"))
         .select(
             "doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
         )
-        .persist()  # both sides of the bucket self-join share one sig pass
     )
     cand = (
         buckets.alias("a")
@@ -349,7 +350,7 @@ def simhash_banded_pairs(
     bands = max_hamming + 1
     chunk_bits = (SIMHASH_BITS + bands - 1) // bands
     mask = (1 << chunk_bits) - 1
-    sig = simhash_signatures(df, id_col, text_col).persist()
+    sig = persist_tracked(simhash_signatures(df, id_col, text_col))
     # docs sharing a signature are hamming-0 pairs by definition — emit
     # directly; candidate generation then works on DISTINCT signatures
     intra = (
@@ -365,7 +366,7 @@ def simhash_banded_pairs(
             F.lit(0).alias("hamming"),
         )
     )
-    usig = sig.select("simhash").distinct().persist()
+    usig = persist_tracked(sig.select("simhash").distinct())
     chunk_structs = [
         F.struct(
             F.lit(i).alias("band"),
@@ -530,12 +531,11 @@ def near_dup_components(
                 F.coalesce(F.col("component"), F.col("_n")).alias("component"),
             )
         )
-    sym = (
+    sym = persist_tracked(
         pairs.union(
             pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
         )
         .toDF("src", "dst")
-        .persist()
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -567,7 +567,7 @@ def near_dup_components(
             converged = True
             break
         prev_sum = cur_sum
-    sym.unpersist()
+    untrack(sym)
     if not converged:
         warnings.warn(
             f"near_dup_components: min-label propagation did not reach a "
@@ -722,7 +722,7 @@ def containment_dedup_pairs(
     sum over A-prefix occurrences of df(shingle): rarest-first ranking
     keeps df small, hot shingles never enter prefixes. Verify is the exact
     set intersection, same persisted set table as the Jaccard path."""
-    sets_df = _shingle_sets(df, id_col, text_col, n).persist()
+    sets_df = persist_tracked(_shingle_sets(df, id_col, text_col, n))
     ex = sets_df.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("sh1")
     )

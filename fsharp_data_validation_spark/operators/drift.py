@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..cache import persist_tracked
+
 EPS = 1e-6
 
 
@@ -155,8 +157,8 @@ def psi_by_group(
         # (verified in the executed plan). The aggregate is |groups|x|buckets|
         # rows (KBs at any input scale), so caching it makes the whole grid
         # ONE data scan + arithmetic on the cached relation.
-        .persist()
     )
+    per = persist_tracked(per)
     glob = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
     tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
     tot = per.agg(F.sum("n").alias("t"))
@@ -206,8 +208,8 @@ def ks_by_group(
         # (verified in the executed plan). The aggregate is |groups|x|buckets|
         # rows (KBs at any input scale), so caching it makes the whole grid
         # ONE data scan + arithmetic on the cached relation.
-        .persist()
     )
+    per = persist_tracked(per)
     gbase = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
     tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
     tot = per.agg(F.sum("n").alias("t"))
@@ -282,8 +284,8 @@ def js_by_group(
         # (verified in the executed plan). The aggregate is |groups|x|buckets|
         # rows (KBs at any input scale), so caching it makes the whole grid
         # ONE data scan + arithmetic on the cached relation.
-        .persist()
     )
+    per = persist_tracked(per)
     glob = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
     tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
     tot = per.agg(F.sum("n").alias("t"))

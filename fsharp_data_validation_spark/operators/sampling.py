@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..cache import persist_tracked
 from .dedup import md5_int
 
 #: md5_int(hex_chars=15) is uniform on [0, 16**15).
@@ -127,7 +128,7 @@ def temperature_sample(
     # would each re-plan this subtree from the source — persist the
     # |groups|-row aggregate so the corpus is read once for counting and
     # once for the filter pass (the minimum without caching the corpus)
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g")).persist()
+    counts = persist_tracked(df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n_g")))
     tot = counts.agg(
         F.sum(F.pow(F.col("_n_g").cast("double"), F.lit(tau))).alias("_wsum"),
         F.sum("_n_g").alias("_N"),

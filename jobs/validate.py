@@ -135,6 +135,11 @@ def main(argv=None) -> int:
     outcomes = run.run(
         df, max_partitions=args.max_partitions, batch_size=args.batch_size
     )
+    # release any operator-persisted intermediates before summarizing —
+    # a resumed/looped driver must not accumulate storage across runs
+    from fsharp_data_validation_spark.cache import release_caches
+
+    release_caches(spark)
     summary = run.summary()
     print(json.dumps({"processed": len(outcomes), **summary}))
     if args.strict and summary["fail"] > 0:

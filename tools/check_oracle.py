@@ -82,6 +82,8 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    from fsharp_data_validation_spark.cache import release_caches
+
     qs, os_ = e.queries(), e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
@@ -95,6 +97,8 @@ def main():
             print(f"[FAIL-spark] {name}: {type(ex).__name__}: {str(ex)[:400]}")
             failures += 1
             continue
+        finally:
+            release_caches(spark, sweep_rdds=True)
         if name not in os_:
             print(f"[rows-only] {name}: {len(srows)} rows (no oracle)")
             continue
