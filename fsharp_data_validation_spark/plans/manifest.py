@@ -85,6 +85,26 @@ def parquet_snapshot(path: str) -> str:
     return h.hexdigest()
 
 
+def partition_snapshots(path: str, partition_col: str) -> dict:
+    """Per-partition input pins for a hive-partitioned directory layout
+    (``<path>/<partition_col>=<value>/...``): value -> pin of that
+    partition's own files. This is the Iceberg per-partition-manifest
+    analogue — a rewrite of ONE partition drifts only that partition's
+    completed entries, so ``on_drift="revalidate"`` redoes exactly the
+    rewritten partitions instead of the whole table. Returns {} when the
+    input is not laid out by this partition column (the global
+    ``parquet_snapshot`` pin then applies to every entry)."""
+    out = {}
+    prefix = partition_col + "="
+    if not os.path.isdir(path):
+        return out
+    for name in sorted(os.listdir(path)):
+        full = os.path.join(path, name)
+        if os.path.isdir(full) and name.startswith(prefix):
+            out[name[len(prefix):]] = parquet_snapshot(full)
+    return out
+
+
 def _atomic_write(path: str, payload: dict) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -138,8 +158,13 @@ class ValidationRun:
         self.emit_valid = emit_valid
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
-        if input_snapshot is None and input_path is not None:
-            input_snapshot = parquet_snapshot(input_path)
+        self.partition_snapshots: dict = {}
+        if input_path is not None:
+            # per-partition pins when the input is laid out by the partition
+            # column (exact drift granularity); global pin otherwise
+            self.partition_snapshots = partition_snapshots(input_path, partition_col)
+            if input_snapshot is None:
+                input_snapshot = parquet_snapshot(input_path)
         self.input_snapshot = input_snapshot
         self.on_drift = on_drift
         self.manifest_dir = os.path.join(out_dir, "manifest")
@@ -168,7 +193,7 @@ class ValidationRun:
             "rows_with_violations": outcome.rows_with_violations,
             "violations": outcome.violations,
             "constraints_evaluated": outcome.constraints_evaluated,
-            "input_snapshot": self.input_snapshot,
+            "input_snapshot": self._pin_for(outcome.partition),
             "started_at": int(started),
             "finished_at": int(time.time()),
         }
@@ -178,16 +203,25 @@ class ValidationRun:
         )
 
     # -- execution -------------------------------------------------------------
+    def _pin_for(self, partition: str) -> Optional[str]:
+        """The input pin governing one partition: its own directory pin when
+        the input is partition-laid-out, else the table-global pin."""
+        return self.partition_snapshots.get(partition, self.input_snapshot)
+
     def drifted_partitions(self) -> List[str]:
-        """Completed partitions whose recorded input pin differs from this
-        run's pin (both sides non-null)."""
-        if self.input_snapshot is None:
+        """Completed partitions whose recorded input pin differs from the
+        pin governing them in this run (both sides non-null). With
+        per-partition pins, a single-partition rewrite drifts exactly that
+        partition; with only a global pin, any input change drifts every
+        completed entry (the conservative fallback)."""
+        if self.input_snapshot is None and not self.partition_snapshots:
             return []
         return sorted(
             p
             for p, doc in self.completed_partitions().items()
             if doc.get("input_snapshot") is not None
-            and doc["input_snapshot"] != self.input_snapshot
+            and self._pin_for(p) is not None
+            and doc["input_snapshot"] != self._pin_for(p)
         )
 
     def pending_partitions(self, df: DataFrame) -> List[str]:

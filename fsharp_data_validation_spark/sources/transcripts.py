@@ -20,6 +20,8 @@ isRequired (Library.fs:16-19), text-length bounds ≅ minLength/maxLength
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 ROLES = ("system", "user", "assistant", "tool")
@@ -116,4 +118,36 @@ def write_bucketed(
         scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         w = w.sortBy(*scols)
     w.mode("overwrite").format("parquet").saveAsTable(table_name)
-    return table_name
+    # record the snapshot this write produced (the Iceberg commit-snapshot
+    # analogue): downstream ValidationRuns pin against it, so a later
+    # rewrite of the table is detected as drift end-to-end. `_`-prefixed
+    # files are invisible to Spark readers and excluded from the pin itself.
+    import json as _json
+    import time as _time
+
+    from ..plans.manifest import parquet_snapshot
+
+    location = path
+    if location is None:
+        spark = df.sparkSession
+        row = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+            .filter("col_name = 'Location'")
+            .collect()
+        )
+        location = row[0]["data_type"] if row else None
+        if location and location.startswith("file:"):
+            location = location[len("file:"):]
+    snapshot = parquet_snapshot(location) if location else None
+    if location:
+        with open(os.path.join(location, "_snapshot.json"), "w") as f:
+            _json.dump(
+                {
+                    "table": table_name,
+                    "snapshot": snapshot,
+                    "written_at": int(_time.time()),
+                },
+                f,
+                sort_keys=True,
+            )
+    return table_name, snapshot

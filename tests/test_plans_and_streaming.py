@@ -566,3 +566,85 @@ def test_frame_sample_rawv_extraction(spark):
     bad = spark.createDataFrame([(9, b"\x00\x00\x01\xb3fakempeg????")], schema)
     with pytest.raises(Exception, match="NotImplementedError|RAWV"):
         frame_sample(bad, 3).collect()
+
+
+def test_partition_pinned_drift_revalidates_exactly(spark, tmp_path):
+    """Per-partition input pins (hive layout): rewriting ONE partition
+    drifts exactly that partition — revalidate redoes it alone, not the
+    whole table (the Iceberg per-partition-manifest analogue)."""
+    from fsharp_data_validation_spark.plans.manifest import (
+        SnapshotDriftError,
+        partition_snapshots,
+    )
+
+    src = str(tmp_path / "ppin_src")
+    out = str(tmp_path / "ppin_out")
+    _df(spark).write.mode("overwrite").partitionBy("part").parquet(src)
+
+    def mk(**kw):
+        return ValidationRun(
+            transcript_row_suite(),
+            out,
+            ["conv_id", "turn_idx"],
+            "part",
+            input_path=src,
+            **kw,
+        )
+
+    pins1 = partition_snapshots(src, "part")
+    assert set(pins1) == {"a", "b", "c"}
+    run = mk()
+    assert run.partition_snapshots == pins1
+    run.run(spark.read.parquet(src))
+    docs = run.completed_partitions()
+    # each entry pinned to ITS partition's own snapshot
+    assert {p: d["input_snapshot"] for p, d in docs.items()} == pins1
+    assert mk().run(spark.read.parquet(src)) == []  # clean no-op resume
+
+    # rewrite ONLY partition b (same logical content, new files; materialize
+    # first — overwriting a path being lazily read deletes its own input)
+    b_path = os.path.join(src, "part=b")
+    b_df = spark.read.parquet(b_path)
+    b_rows, b_schema = b_df.collect(), b_df.schema
+    spark.createDataFrame(b_rows, schema=b_schema).write.mode(
+        "overwrite"
+    ).parquet(b_path)
+    pins2 = partition_snapshots(src, "part")
+    assert pins2["b"] != pins1["b"]
+    assert pins2["a"] == pins1["a"] and pins2["c"] == pins1["c"]
+
+    # error policy names exactly the drifted partition
+    with pytest.raises(SnapshotDriftError) as ei:
+        mk().run(spark.read.parquet(src))
+    assert ei.value.drifted == ["b"]
+
+    # revalidate redoes EXACTLY the drifted partition and re-pins it
+    redone = mk(on_drift="revalidate").run(spark.read.parquet(src))
+    assert [o.partition for o in redone] == ["b"]
+    docs = mk().completed_partitions()
+    assert {p: d["input_snapshot"] for p, d in docs.items()} == pins2
+    # untouched partitions kept their original manifest timestamps/pins
+    assert docs["a"]["input_snapshot"] == pins1["a"]
+
+
+def test_write_bucketed_records_snapshot(spark, tmp_path):
+    """The write path records the snapshot it produced (_snapshot.json,
+    invisible to readers and excluded from the pin); a rewrite changes it,
+    closing the produce->pin->drift loop end-to-end."""
+    import json as jsonlib
+
+    from fsharp_data_validation_spark.plans.manifest import parquet_snapshot
+    from fsharp_data_validation_spark.sources.transcripts import write_bucketed
+
+    loc = str(tmp_path / "bt")
+    df = _df(spark).select("conv_id", "turn_idx", "text")
+    name, snap = write_bucketed(df, "t_snap", "conv_id", 4, path=loc)
+    assert name == "t_snap" and snap == parquet_snapshot(loc)
+    doc = jsonlib.load(open(os.path.join(loc, "_snapshot.json")))
+    assert doc["snapshot"] == snap and doc["table"] == "t_snap"
+    # reading back ignores the sidecar; rewrite produces a NEW snapshot
+    assert spark.table("t_snap").count() == df.count()
+    spark.sql("DROP TABLE t_snap")
+    _, snap2 = write_bucketed(df, "t_snap", "conv_id", 4, path=loc)
+    assert snap2 != snap
+    spark.sql("DROP TABLE t_snap")
