@@ -1017,3 +1017,64 @@ def test_w1_counts_gap_buckets(spark):
     assert val(w1(hist({3: 10}), hist({4: 10}), 10, 5.0)) == 5.0
     # mixed mass: a=uniform(0,1), b=all at 1 -> |cdf diff| = 0.5 at bucket 0
     assert val(w1(hist({0: 5, 1: 5}), hist({1: 10}), 10)) == 0.5
+
+
+def test_pack_vec_kernel_equals_loop_kernel():
+    """The searchsorted chunk-jump kernel must reproduce the reference
+    per-row recurrence exactly — including zero-token runs (NULL texts),
+    over-budget single turns, conversations starting with zeros (the
+    acc==0 join rule), and conversations split across Arrow batches at
+    every possible boundary."""
+    import random
+
+    import numpy as np
+
+    from fsharp_data_validation_spark.operators.text import (
+        _pack_batch_loop,
+        _pack_batch_vec,
+    )
+
+    rng = random.Random(7)
+
+    def run(kern, convs, ns, splits, budget):
+        state = [None, 1, 0, 0]
+        chunks, rns = [], []
+        prev = 0
+        for cut in list(splits) + [len(ns)]:
+            c, r = kern(
+                np.array(convs[prev:cut], dtype=object),
+                np.array(ns[prev:cut], dtype=np.int64),
+                state,
+                budget,
+            )
+            chunks.extend(c.tolist())
+            rns.extend(r.tolist())
+            prev = cut
+        return chunks, rns, list(state)
+
+    # adversarial hand-built case: zeros-then-overbudget join rule
+    convs = ["a"] * 6 + ["b"] * 3
+    ns = [0, 0, 100, 5, 0, 70, 64, 1, 0]
+    for splits in ([], [1], [2], [3], [6], [2, 7], [1, 2, 3, 4, 5, 6, 7, 8]):
+        assert run(_pack_batch_vec, convs, ns, splits, 64) == run(
+            _pack_batch_loop, convs, ns, splits, 64
+        )
+
+    for trial in range(200):
+        n = rng.randrange(1, 60)
+        convs, ns = [], []
+        cid = 0
+        while len(ns) < n:
+            cid += 1
+            for _ in range(rng.randrange(1, 8)):
+                convs.append(f"c{cid}")
+                ns.append(
+                    rng.choice([0, 0, 1, 3, 7, 20, 63, 64, 65, 200])
+                )
+        convs, ns = convs[:n], ns[:n]
+        budget = rng.choice([1, 5, 64])
+        n_cuts = rng.randrange(0, 4)
+        splits = sorted(rng.sample(range(1, n), min(n_cuts, n - 1)))
+        got = run(_pack_batch_vec, convs, ns, splits, budget)
+        want = run(_pack_batch_loop, convs, ns, splits, budget)
+        assert got == want, (trial, convs, ns, splits, budget, got, want)
