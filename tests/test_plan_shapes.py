@@ -275,3 +275,41 @@ def test_by_group_drift_grids_scan_once(spark, sf):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, q.__name__
         spark.catalog.clearCache()
+
+
+def test_report_path_evaluates_only_on_failing_slice(spark, sf):
+    """The wire-format report column is built from interpreted HOF
+    expressions (no codegen) by design — acceptable ONLY because it is
+    evaluated strictly on the failing slice. Pin that shape: the failure
+    filter sits BELOW the report projection in the physical tree (filter
+    first, HOF projection on survivors), the HOFs never appear in the
+    filter itself, and the input is scanned once."""
+    from fsharp_data_validation_spark.operators.transcript_suite import (
+        transcript_row_suite,
+    )
+    from fsharp_data_validation_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, sf)
+    s = transcript_row_suite()
+    reps = t.filter(s.any_failure_column()).select(
+        "conv_id", "turn_idx", s.report_json_column().alias("report")
+    )
+    plan = _plan(reps)
+    header = plan.split("\n\n")[0]
+    tree = [ln for ln in header.splitlines() if "(" in ln]
+    filt = [i for i, ln in enumerate(tree) if "Filter" in ln]
+    projs = [i for i, ln in enumerate(tree) if "Project" in ln]
+    scans = [i for i, ln in enumerate(tree) if "Scan parquet" in ln]
+    assert len(scans) == 1, header  # one data scan
+    assert len(filt) == 1, header  # the failure filter, nothing re-filtered
+    # top-down tree: Project(s) ... Filter ... Scan — so at execution time
+    # the filter runs BEFORE the report projection
+    assert min(projs) < filt[0] < scans[0], header
+    # the interpreted HOF report machinery lives in a Project, not in the
+    # filter condition (transform/aggregate = lambda HOFs)
+    details = plan.split("\n\n")[1:]
+    filter_detail = next(
+        d for d in details if d.split("\n")[0].rstrip().endswith("Filter")
+    )
+    assert "transform(" not in filter_detail
+    assert "transform(" in plan  # ...but the report projection does use HOFs
