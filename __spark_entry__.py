@@ -521,6 +521,115 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural conversation-flow validation — cross-row sequencing rules
+    (start-role, turn-taking, orphan tool turns) over one window pass
+    (operators/crossrow.py:conversation_flow_violations); the sequence-level
+    extension of the reference's role-enum membership (Library.fs:97)."""
+    from fsharp_data_validation_spark.operators.crossrow import (
+        conversation_flow_violations,
+    )
+
+    return conversation_flow_violations(_transcripts(spark, sf_dir))
+
+
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square role-distribution drift, first half vs second
+    half by event time — the categorical drift test PSI/KS can't express
+    (no ordered domain). One conditional aggregate over the data
+    (operators/drift.py:split_category_counts/chi2_joined)."""
+    from fsharp_data_validation_spark.operators.drift import (
+        chi2_joined,
+        split_category_counts,
+    )
+
+    return chi2_joined(split_category_counts(_transcripts(spark, sf_dir), "role", "ts"))
+
+
+def q_w1_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day Wasserstein-1 drift of turn length vs the whole-table
+    baseline — completes the per-group drift family (PSI/KS/JS/W1); grid
+    densified to the full bucket spine because W1 is a sum, not a max
+    (operators/drift.py:w1_by_group)."""
+    from fsharp_data_validation_spark.operators.drift import w1_by_group
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.to_date("ts").alias("part_date"), F.length("text").alias("text_len"))
+    )
+    return w1_by_group(t, "part_date", "text_len", 25.0, 20)
+
+
+def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day suite violation rate + 7-day rolling rate — the monitoring
+    time series over the single-projection suite run. Rolling sums run on
+    the tiny per-day aggregate (exact integer sums, one division — no
+    float-accumulation order sensitivity), never on the data; the
+    unpartitioned window is over ~#days rows, not rows of data."""
+    from pyspark.sql import Window
+
+    t = _transcripts(spark, sf_dir)
+    anyf = transcript_row_suite().any_failure_column()
+    daily = t.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(anyf.cast("long")).alias("n_viol"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_rows",
+        "n_viol",
+        F.round(F.col("n_viol") / F.col("n_rows"), 6).alias("rate"),
+        F.round(F.sum("n_viol").over(w) / F.sum("n_rows").over(w), 6).alias(
+            "rolling_rate"
+        ),
+    )
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-day outlier profile on turn length: median + MAD flags
+    (operators/stats.py:mad_outliers_by_group) — the heavy-tail-safe
+    variant of z-score outlier checks."""
+    from fsharp_data_validation_spark.operators.stats import mad_outliers_by_group
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.to_date("ts").alias("part_date"), F.length("text").alias("text_len"))
+    )
+    return mad_outliers_by_group(t, "part_date", "text_len")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/text.py:tfidf_top_terms);
+    ranking on the rounded score + lexicographic tiebreak so the window
+    order is engine-portable."""
+    from fsharp_data_validation_spark.operators.text import tfidf_top_terms
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return tfidf_top_terms(load_docs(spark, sf_dir), "doc_id", "text", 3)
+
+
+def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: exact train x eval cosine
+    pairs via the blocked GEMM with the eval side replicated per block
+    (operators/similarity.py:cross_corpus_cosine_pairs); split is the
+    portable md5 hash rule shared with sample_split."""
+    from fsharp_data_validation_spark.operators.sampling import hash_split
+    from fsharp_data_validation_spark.operators.similarity import (
+        cross_corpus_cosine_pairs,
+    )
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    v = hash_split(load_vecs(spark, sf_dir), "vec_id", 80)
+    return cross_corpus_cosine_pairs(
+        v.filter(F.col("split") == "train").drop("split"),
+        v.filter(F.col("split") == "test").drop("split"),
+        threshold=0.8,
+    )
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1125,6 +1234,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         # --- r2 row existed but was rows-only; now has a banded oracle ---
         "hll_rollup": q_hll_rollup,
+        # --- round-3 additions (inside the driver's 50-row window) ---
+        "conv_flow": q_conv_flow,
+        "chi2_drift": q_chi2_drift,
+        "w1_by_day": q_w1_by_day,
+        "rolling_rate": q_rolling_rate,
+        "mad_outliers": q_mad_outliers,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "embedding_contamination": q_embedding_contamination,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -1219,6 +1336,14 @@ _ROW_SUITE_ORACLE = with_transcripts(
 )
 
 _NF_EXPR = " + ".join(f"(CASE WHEN {w} THEN 1 ELSE 0 END)" for _, _, w in _FAIL_CONDS)
+
+# total order for conversation-flow lag windows — must match
+# conversation_flow_violations' window spec exactly (ts alone can tie under
+# injected duplicate turn indexes)
+_FLOW_W = (
+    "PARTITION BY conv_id ORDER BY turn_idx, ts, role, "
+    "COALESCE(text, ''), COALESCE(tool, '')"
+)
 
 _MID_SQL = (
     "SELECT ROUND((MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))"
@@ -1466,6 +1591,150 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_parts,"
             " CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct,"
             " TRUE AS within_err FROM transcripts"
+        ),
+        "conv_flow": with_transcripts(
+            f"""
+            , w AS (
+              SELECT conv_id, turn_idx, role,
+                     LAG(role) OVER ({_FLOW_W}) AS prev_role,
+                     ROW_NUMBER() OVER ({_FLOW_W}) AS rn
+              FROM transcripts
+            )
+            SELECT conv_id, turn_idx, role, code FROM (
+              SELECT conv_id, turn_idx, role, 'conversation_start' AS code
+              FROM w WHERE rn = 1 AND role NOT IN ('system', 'user')
+              UNION ALL
+              SELECT conv_id, turn_idx, role, 'consecutive_same_role'
+              FROM w WHERE prev_role IS NOT NULL AND role = prev_role
+              UNION ALL
+              SELECT conv_id, turn_idx, role, 'orphan_tool_turn'
+              FROM w WHERE role = 'tool'
+                    AND (prev_role IS NULL OR prev_role <> 'assistant')
+            ) v
+            """
+        ),
+        "chi2_drift": with_transcripts(
+            f"""
+            , m AS ({_MID_SQL})
+            , c AS (
+              SELECT role AS cat,
+                     SUM(CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) < (SELECT mid FROM m)
+                              THEN 1 ELSE 0 END) AS na,
+                     SUM(CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) >= (SELECT mid FROM m)
+                              THEN 1 ELSE 0 END) AS nb
+              FROM transcripts WHERE role IS NOT NULL GROUP BY 1
+            ), tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb, SUM(na) + SUM(nb) AS t FROM c)
+            SELECT ROUND(SUM(
+                     POWER(na - (na + nb) * ta * 1.0 / t, 2) / ((na + nb) * ta * 1.0 / t)
+                   + POWER(nb - (na + nb) * tb * 1.0 / t, 2) / ((na + nb) * tb * 1.0 / t)
+                   ), 4) AS chi2,
+                   CAST(COUNT(*) - 1 AS BIGINT) AS dof
+            FROM c CROSS JOIN tot
+            """
+        ),
+        "w1_by_day": with_transcripts(
+            """
+            , per AS (
+              SELECT CAST(ts AS DATE) AS grp,
+                     LEAST(GREATEST(CAST(FLOOR(length(text) / 25.0) AS INT), 0), 19) AS bucket,
+                     COUNT(*) AS n
+              FROM transcripts WHERE text IS NOT NULL GROUP BY 1, 2
+            ), gbase AS (SELECT bucket, SUM(n) AS gn FROM per GROUP BY 1),
+            tg AS (SELECT grp, SUM(n) AS tg FROM per GROUP BY 1),
+            tot AS (SELECT SUM(n) AS t FROM per),
+            spine AS (SELECT unnest(range(0, 20)) AS bucket),
+            grid AS (SELECT tg.grp, tg.tg, s.bucket FROM tg CROSS JOIN spine s),
+            j AS (
+              SELECT g.grp, g.tg, g.bucket,
+                     COALESCE(gb.gn, 0) AS gn, COALESCE(per.n, 0) AS n
+              FROM grid g LEFT JOIN gbase gb ON gb.bucket = g.bucket
+                          LEFT JOIN per ON per.grp = g.grp AND per.bucket = g.bucket
+            ),
+            c AS (
+              SELECT grp, tg,
+                     SUM(n) OVER (PARTITION BY grp ORDER BY bucket) AS cn,
+                     SUM(gn) OVER (PARTITION BY grp ORDER BY bucket) AS cg
+              FROM j
+            )
+            SELECT grp AS part_date, CAST(MIN(tg) AS BIGINT) AS n_rows,
+                   ROUND(SUM(ABS(cn * 1.0 / tg - cg * 1.0 / (SELECT t FROM tot))) * 25.0, 4) AS w1
+            FROM c GROUP BY grp
+            """
+        ),
+        "rolling_rate": with_transcripts(
+            f"""
+            SELECT day, n_rows, n_viol,
+                   ROUND(n_viol * 1.0 / n_rows, 6) AS rate,
+                   ROUND(SUM(n_viol) OVER w * 1.0 / SUM(n_rows) OVER w, 6) AS rolling_rate
+            FROM (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN ({_NF_EXPR}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+              FROM transcripts GROUP BY 1
+            ) d
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            """
+        ),
+        "mad_outliers": with_transcripts(
+            f"""
+            , base AS (
+              SELECT CAST(ts AS DATE) AS grp, length(text) AS x
+              FROM transcripts WHERE text IS NOT NULL
+            ),
+            med AS (SELECT grp, quantile_cont(x, 0.5) AS m FROM base GROUP BY 1),
+            mad AS (
+              SELECT b.grp, quantile_cont(ABS(b.x - m.m), 0.5) AS d
+              FROM base b JOIN med m ON b.grp = m.grp GROUP BY b.grp
+            )
+            SELECT b.grp AS part_date,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(MIN(m.m), 4) AS med,
+                   ROUND(MIN(d.d), 4) AS mad,
+                   CAST(SUM(CASE WHEN ABS(b.x - m.m) > {3 * 1.4826!r} * d.d
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                   ROUND(SUM(CASE WHEN ABS(b.x - m.m) > {3 * 1.4826!r} * d.d
+                             THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4) AS outlier_rate
+            FROM base b JOIN med m ON b.grp = m.grp JOIN mad d ON b.grp = d.grp
+            GROUP BY 1
+            """
+        ),
+        "tfidf_top_terms": with_docs(
+            """
+            , toks AS (
+              SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+              FROM docs WHERE text IS NOT NULL
+            ),
+            tf AS (SELECT doc, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM docs WHERE text IS NOT NULL)
+            SELECT doc AS doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+              SELECT tf.doc, tf.term, tf.tf,
+                     ROUND(tf.tf * LN(nd.n_docs * 1.0 / dfq.df_t), 4) AS score,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc
+                       ORDER BY ROUND(tf.tf * LN(nd.n_docs * 1.0 / dfq.df_t), 4) DESC,
+                                tf.term ASC
+                     ) AS rnk
+              FROM tf JOIN dfq USING (term) CROSS JOIN nd
+            ) r WHERE rnk <= 3
+            """
+        ),
+        "embedding_contamination": with_vecs(
+            f"""
+            , tagged AS (
+              SELECT vec_id, e,
+                     CASE WHEN CAST(('0x' || substr(md5('split' || '|' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 80
+                          THEN 0 ELSE 1 END AS side
+              FROM vecs
+            )
+            SELECT id_a, id_b, sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND({_COSINE_SQL.format(a='a.e', b='b.e')}, 6) AS sim
+              FROM tagged a JOIN tagged b ON a.side = 0 AND b.side = 1
+            ) p WHERE sim >= 0.8
+            """
         ),
         "psi_drift": with_transcripts(
             f"""

@@ -122,3 +122,62 @@ def turn_gap_seconds(
             F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
         ).alias("gap_s"),
     )
+
+
+def conversation_flow_violations(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    tool_col: str = "tool",
+    start_roles: Sequence[str] = ("system", "user"),
+) -> DataFrame:
+    """Structural conversation-flow validation — the cross-row shape of the
+    reference's role-enum membership (Library.fs:97 ``hasElem``): the enum
+    check constrains one turn's role, these constrain the SEQUENCE of roles.
+    Flags, per turn, any of:
+
+    - ``conversation_start``: the first turn's role is not in
+      ``start_roles`` (a transcript must open with system/user);
+    - ``consecutive_same_role``: a turn repeats the previous turn's role
+      (turn-taking invariant);
+    - ``orphan_tool_turn``: a ``tool`` turn not directly preceded by an
+      ``assistant`` turn (tool results must answer an assistant call).
+
+    Returns (conv, turn_idx, role, code); a turn can carry several codes.
+    ONE window pass ordered by the total key (turn_idx, ts, role, text,
+    tool) — ts alone can tie under injected duplicate turn indexes, and a
+    lag comparison needs a total order to be deterministic on both engines
+    — then a row-local code array + explode: one shuffle (zero on a
+    conv_id-bucketed layout), output proportional to violations."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    o = F.coalesce(F.col(tool_col), F.lit(""))
+    w = Window.partitionBy(conv_col).orderBy(idx_col, ts_col, role_col, t, o)
+    role = F.col(role_col)
+    lagged = df.select(
+        conv_col,
+        idx_col,
+        role_col,
+        F.lag(role_col).over(w).alias("_prev_role"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    prev = F.col("_prev_role")
+    codes = F.array(
+        F.when(
+            (F.col("_rn") == 1) & ~role.isin(list(start_roles)),
+            F.lit("conversation_start"),
+        ),
+        F.when(prev.isNotNull() & (role == prev), F.lit("consecutive_same_role")),
+        F.when(
+            (role == F.lit("tool")) & (prev.isNull() | (prev != F.lit("assistant"))),
+            F.lit("orphan_tool_turn"),
+        ),
+    )
+    return lagged.select(
+        conv_col,
+        idx_col,
+        role_col,
+        F.explode(F.filter(codes, lambda c: c.isNotNull())).alias("code"),
+    )

@@ -346,3 +346,105 @@ def w1(
 ) -> DataFrame:
     """Wasserstein-1 distance between two separate histograms."""
     return w1_joined(_joined_hist(hist_a, hist_b), n_buckets, bucket_width, round_to)
+
+
+def w1_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-partition Wasserstein-1 distance of each group's value
+    distribution against the whole-table baseline — completes the per-group
+    drift family (PSI/KS/JS/W1). Same ONE-scan cached-grid shape as
+    ``psi_by_group``, but the grid is densified to the FULL 0..n_buckets-1
+    spine per group (W1 is a sum over the integral, so both-sides-empty gap
+    buckets count — see ``w1_joined``); cumulative sums run on the tiny
+    |groups| x n_buckets relation, windowed per group, never on the data.
+    Returns (group, n_rows, w1)."""
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    per = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), b.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = persist_tracked(per)  # KB-scale; 4 branches read it (see psi_by_group)
+    spine = per.sparkSession.range(0, n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    glob = per.groupBy("bucket").agg(F.sum("n").alias("gn"))
+    tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
+    tot = per.agg(F.sum("n").alias("t"))
+    grid = tg.crossJoin(F.broadcast(spine))
+    j = (
+        grid.join(F.broadcast(glob), "bucket", "left")
+        .join(per, ["grp", "bucket"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .withColumn("gn", F.coalesce("gn", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = F.abs(
+        F.sum("n").over(wcum) / F.col("tg") - F.sum("gn").over(wcum) / F.col("t")
+    )
+    return (
+        j.select("grp", "tg", d.alias("d"))
+        .groupBy("grp")
+        .agg(
+            F.first("tg").alias("n_rows"),
+            F.round(F.sum("d") * F.lit(float(bucket_width)), round_to).alias("w1"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "w1")
+    )
+
+
+def split_category_counts(df: DataFrame, cat_col: str, ts_col: str) -> DataFrame:
+    """First-half/second-half CATEGORY counts by epoch midpoint in one
+    conditional aggregate — the categorical sibling of ``split_histograms``
+    (same broadcast-scalar midpoint, same one-scan shape). NULL categories
+    are dropped; NULL ts rows fall in neither half. Returns (cat, na, nb)."""
+    e = F.unix_seconds(F.col(ts_col).cast("timestamp"))
+    mid_df = df.agg(F.round((F.min(e) + F.max(e)) / 2).alias("_mid"))
+    return (
+        df.filter(F.col(cat_col).isNotNull())
+        .select(F.col(cat_col).alias("cat"), e.alias("_e"))
+        .crossJoin(F.broadcast(mid_df))
+        .groupBy("cat")
+        .agg(
+            F.sum(F.when(F.col("_e") < F.col("_mid"), 1).otherwise(0)).alias("na"),
+            F.sum(F.when(F.col("_e") >= F.col("_mid"), 1).otherwise(0)).alias("nb"),
+        )
+    )
+
+
+def chi2_joined(counts: DataFrame, round_to: int = 4) -> DataFrame:
+    """Pearson chi-square statistic for a (category, na, nb) contingency
+    table — the categorical drift test PSI/KS can't express (they need an
+    ordered or binned domain). chi2 = sum over cells (obs - exp)^2 / exp
+    with exp from the row/column margins; dof = (n_categories - 1) * (2 - 1).
+    All arithmetic happens on the |categories|-row aggregate (broadcast
+    totals, no second data scan). Returns one row (chi2, dof)."""
+    tot = counts.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        (F.sum("na") + F.sum("nb")).alias("t"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    row = F.col("na") + F.col("nb")
+    ea = row * F.col("ta") / F.col("t")
+    eb = row * F.col("tb") / F.col("t")
+    term = (F.col("na") - ea) ** 2 / ea + (F.col("nb") - eb) ** 2 / eb
+    return j.agg(
+        F.round(F.sum(term), round_to).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+    )

@@ -361,3 +361,70 @@ def lsh_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+def cross_corpus_cosine_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    blocks: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: exact train x eval cosine
+    pairs >= threshold — the semantic sibling of the n-gram
+    ``cross_contamination_pairs`` (paraphrased eval leaks that share no
+    shingles). Returns (id_a, id_b, sim) with id_a the TRAIN side.
+
+    Shape: the train side is hashed into ``blocks`` blocks; the (small)
+    eval side is replicated to every block — O(|eval| * B) replicated rows,
+    the blocked analogue of a broadcast — and each group computes one
+    train-tile x eval GEMM in BLAS, emitting only qualifying pairs. Never
+    an all-pairs join; shuffle volume is O(|train| + |eval| * B). Exact
+    (same rounding rule as ``near_dup_pairs_blocked``, shared brute-force
+    oracle)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    t = _as_double(train, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks)).cast("int").alias("blk"),
+        F.lit(0).alias("side"),
+    )
+    e = _as_double(eval_df, vec_col).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
+        F.lit(1).alias("side"),
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("sim", DoubleType()),
+        ]
+    )
+
+    def tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        side = pdf["side"].to_numpy()
+        ia = np.flatnonzero(side == 0)
+        ib = np.flatnonzero(side == 1)
+        if len(ia) == 0 or len(ib) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
+            )
+        m = np.stack(pdf["v"].to_numpy())
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        vids = pdf["vid"].to_numpy()
+        sims = (m[ia] @ m[ib].T) / np.outer(norms[ia], norms[ib])
+        idx_a, idx_b = np.nonzero(np.round(sims, round_to) >= threshold)
+        return pd.DataFrame(
+            {
+                "id_a": vids[ia][idx_a],
+                "id_b": vids[ib][idx_b],
+                "sim": np.round(sims[idx_a, idx_b], round_to),
+            }
+        )
+
+    return t.unionByName(e).groupBy("blk").applyInPandas(tile_kernel, out_schema)

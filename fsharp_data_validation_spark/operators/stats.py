@@ -289,3 +289,59 @@ def hll_rollup(sketches: DataFrame, parts: Sequence[str] | None = None) -> DataF
             "distinct_estimate"
         ),
     )
+
+
+def mad_outliers_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 3.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Robust per-group outlier profile: a row is an outlier when
+    ``|x - median_g| > k * 1.4826 * MAD_g`` (median absolute deviation,
+    scaled to sigma-equivalence for normal data) — the outlier check
+    mean/stddev z-scores get wrong under heavy tails, because both the
+    center and the spread estimate are themselves robust.
+
+    Shape: three column-pruned scans of (group, value) — group medians
+    (one partial-aggregating percentile), deviation medians (join back the
+    KB-scale median table, broadcast), and the final flag pass (both tiny
+    tables broadcast). The two-level median is inherently two-pass; at
+    10^12 rows swap ``percentile`` for ``percentile_approx``/t-digest with
+    the same shape. MAD = 0 (a majority-constant group) flags every
+    off-median row, deterministically on both engines (strict >).
+    Returns (group, n_rows, med, mad, n_outliers, outlier_rate)."""
+    base = df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    med = base.groupBy("grp").agg(F.expr("percentile(x, 0.5)").alias("_med"))
+    mad = (
+        base.join(F.broadcast(med), "grp")
+        .select("grp", F.abs(F.col("x") - F.col("_med")).alias("_dev"))
+        .groupBy("grp")
+        .agg(F.expr("percentile(_dev, 0.5)").alias("_mad"))
+    )
+    out = F.abs(F.col("x") - F.col("_med")) > F.lit(k * 1.4826) * F.col("_mad")
+    return (
+        base.join(F.broadcast(med), "grp")
+        .join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("_med"), round_to).alias("med"),
+            F.round(F.first("_mad"), round_to).alias("mad"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+            F.round(F.sum(out.cast("long")) / F.count(F.lit(1)), round_to).alias(
+                "outlier_rate"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "med",
+            "mad",
+            "n_outliers",
+            "outlier_rate",
+        )
+    )

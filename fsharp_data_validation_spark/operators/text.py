@@ -501,3 +501,48 @@ def mixture_report(
             F.col("n_tokens").cast("double") / F.sum("n_tokens").over(wall), round_to
         ).alias("token_share"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 3,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms (whitespace tokens, raw tf,
+    idf = ln(N / df)) — the keyword-extraction profile of a curation
+    pipeline. Returns (id, term, tf, score, rnk) with deterministic
+    ranking: (rounded score DESC, term ASC) — ranking on the ROUNDED score
+    keeps the window order identical across engines (ln() can differ in
+    the last ulp between libm implementations; two true scores within
+    1e-4 tie and fall to the lexicographic break).
+
+    Shape: explode -> (doc, term) hash agg (one shuffle, map-side combine)
+    -> term document-frequency agg reusing the previous shuffle's
+    partitioning where AQE allows -> shuffle join tf x df on the term ->
+    per-doc window bounded by doc vocabulary. The 1-row N aggregate is a
+    broadcast scalar, never a driver collect."""
+    from pyspark.sql import Window
+
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.filter(F.col(text_col).isNotNull()).agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), round_to
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc", "term", "tf", score.alias("score"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_k)
+        .select(F.col("doc").alias(id_col), "term", "tf", "score", "rnk")
+    )

@@ -1,0 +1,152 @@
+"""Round-3 operators: conversation-flow validation, chi-square categorical
+drift, per-group W1 drift, MAD outliers, TF-IDF top terms, embedding-space
+cross-corpus contamination. Semantics pinned on hand-built fixtures; the
+sf0.01 DuckDB oracles cover the derived-table scale."""
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+
+def test_conversation_flow_violations(spark):
+    from fsharp_data_validation_spark.operators.crossrow import (
+        conversation_flow_violations,
+    )
+
+    rows = [
+        # c1: clean user/assistant alternation
+        Row(conv_id="c1", turn_idx=0, role="user", text="hi", tool=None, ts=0),
+        Row(conv_id="c1", turn_idx=1, role="assistant", text="yo", tool=None, ts=1),
+        Row(conv_id="c1", turn_idx=2, role="tool", text="r", tool="t1", ts=2),
+        # c2: starts with assistant (violation), repeats role (violation)
+        Row(conv_id="c2", turn_idx=0, role="assistant", text="a", tool=None, ts=0),
+        Row(conv_id="c2", turn_idx=1, role="assistant", text="b", tool=None, ts=1),
+        # c3: tool turn after user (orphan), and tool FIRST turn (start + orphan)
+        Row(conv_id="c3", turn_idx=0, role="tool", text="x", tool="t1", ts=0),
+        Row(conv_id="c3", turn_idx=1, role="user", text="q", tool=None, ts=1),
+        Row(conv_id="c3", turn_idx=2, role="tool", text="y", tool="t2", ts=2),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["code"])
+        for r in conversation_flow_violations(df).collect()
+    )
+    assert got == [
+        ("c2", 0, "conversation_start"),
+        ("c2", 1, "consecutive_same_role"),
+        ("c3", 0, "conversation_start"),
+        ("c3", 0, "orphan_tool_turn"),
+        ("c3", 2, "orphan_tool_turn"),
+    ]
+
+
+def test_chi2_known_contingency(spark):
+    """2x2 table with closed-form chi2: cells a=30,b=10 / c=10,d=30 ->
+    chi2 = n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)) = 80*(900-100)^2/40^4 = 20."""
+    from fsharp_data_validation_spark.operators.drift import chi2_joined
+
+    counts = spark.createDataFrame(
+        [("x", 30, 10), ("y", 10, 30)], "cat string, na long, nb long"
+    )
+    r = chi2_joined(counts).collect()[0]
+    assert r["dof"] == 1
+    assert abs(r["chi2"] - 20.0) < 1e-9
+
+    # independence -> chi2 = 0
+    indep = spark.createDataFrame(
+        [("x", 20, 20), ("y", 30, 30)], "cat string, na long, nb long"
+    )
+    assert chi2_joined(indep).collect()[0]["chi2"] == 0.0
+
+
+def test_w1_by_group_point_masses(spark):
+    """A group identical to the baseline has w1=0; a group concentrated at
+    bucket 0 vs a baseline spread to bucket 19 pays the gap distance —
+    densified-grid semantics (matching w1_joined's)."""
+    from fsharp_data_validation_spark.operators.drift import w1_by_group
+
+    rows = [("same", float(v)) for v in (0, 190)] * 10 + [("far", 0.0)] * 20
+    df = spark.createDataFrame(rows, "grp string, x double")
+    out = {r["grp"]: r["w1"] for r in w1_by_group(df, "grp", "x", 10.0, 20).collect()}
+    # baseline: 40 rows, 30 at bucket 0 and 10 at bucket 19
+    # 'same' group: half at 0, half at 19 -> |CDF diff| = .25 over 19 gaps
+    assert abs(out["far"] - (1 - 30 / 40) * 19 * 10.0) < 1e-6
+    assert abs(out["same"] - abs(0.5 - 30 / 40) * 19 * 10.0) < 1e-6
+
+
+def test_mad_outliers_robust_center(spark):
+    from fsharp_data_validation_spark.operators.stats import mad_outliers_by_group
+
+    # 9 values near 10 (MAD=1), one extreme value -> exactly one outlier;
+    # the extreme value barely moves the median (robustness)
+    vals = [9, 9, 10, 10, 10, 11, 11, 12, 8, 1000]
+    df = spark.createDataFrame([("g", float(v)) for v in vals], "grp string, x double")
+    r = mad_outliers_by_group(df, "grp", "x").collect()[0]
+    assert r["med"] == 10.0
+    assert r["n_outliers"] == 1 and r["n_rows"] == 10
+    # constant group: MAD = 0 -> every off-median row flags (strict >)
+    df2 = spark.createDataFrame(
+        [("c", 5.0)] * 8 + [("c", 6.0)], "grp string, x double"
+    )
+    r2 = mad_outliers_by_group(df2, "grp", "x").collect()[0]
+    assert r2["mad"] == 0.0 and r2["n_outliers"] == 1
+
+
+def test_tfidf_top_terms_scores_and_ties(spark):
+    from fsharp_data_validation_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared"),
+            (2, "banana cherry shared"),
+            (3, "cherry cherry cherry shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["rnk"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, "doc_id", "text", 2).collect()
+    }
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert out[(1, 1)] == ("apple", 2, round(2 * math.log(3), 4))
+    assert out[(1, 2)] == ("banana", 1, round(math.log(1.5), 4))
+    # doc 2: banana and cherry tie (tf=1, df=2) -> lexicographic order
+    assert out[(2, 1)][0] == "banana" and out[(2, 2)][0] == "cherry"
+    # 'shared' in every doc -> idf ln(1)=0, never ranks above positives
+    assert all(term != "shared" or rnk > 1 for (_, rnk), (term, _, _) in out.items())
+
+
+def test_cross_corpus_cosine_equals_bruteforce(spark):
+    import numpy as np
+
+    from fsharp_data_validation_spark.operators.similarity import (
+        cross_corpus_cosine_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 8))
+    # eval vectors 0..4 are noisy copies of train vectors 0..4
+    train_rows = [(int(i), [float(x) for x in base[i]]) for i in range(30)]
+    eval_rows = [
+        (int(100 + i), [float(x) for x in base[i] + 0.05 * rng.standard_normal(8)])
+        for i in range(5)
+    ] + [(int(200 + i), [float(x) for x in rng.standard_normal(8)]) for i in range(5)]
+    t = spark.createDataFrame(train_rows, "vec_id long, embedding array<double>")
+    e = spark.createDataFrame(eval_rows, "vec_id long, embedding array<double>")
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in cross_corpus_cosine_pairs(t, e, threshold=0.8, blocks=4).collect()
+    )
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    want = sorted(
+        (ta, eb, round(cos(va, vb), 6))
+        for ta, va in train_rows
+        for eb, vb in eval_rows
+        if round(cos(va, vb), 6) >= 0.8
+    )
+    assert got == want and len(want) >= 5
