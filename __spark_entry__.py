@@ -538,12 +538,9 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     half by event time — the categorical drift test PSI/KS can't express
     (no ordered domain). One conditional aggregate over the data
     (operators/drift.py:split_category_counts/chi2_joined)."""
-    from fsharp_data_validation_spark.operators.drift import (
-        chi2_joined,
-        split_category_counts,
-    )
+    from fsharp_data_validation_spark.operators.drift import chi2_drift
 
-    return chi2_joined(split_category_counts(_transcripts(spark, sf_dir), "role", "ts"))
+    return chi2_drift(_transcripts(spark, sf_dir), "role", "ts")
 
 
 def q_w1_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:

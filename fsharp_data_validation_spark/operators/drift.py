@@ -427,6 +427,16 @@ def split_category_counts(df: DataFrame, cat_col: str, ts_col: str) -> DataFrame
     )
 
 
+def chi2_drift(
+    df: DataFrame, cat_col: str, ts_col: str, round_to: int = 4
+) -> DataFrame:
+    """split_category_counts + chi2_joined with the tiny count table
+    persisted (tracked): chi2_joined reads it twice (margins + cells), and
+    without the persist each branch re-executes the data aggregate."""
+    counts = persist_tracked(split_category_counts(df, cat_col, ts_col))
+    return chi2_joined(counts, round_to)
+
+
 def chi2_joined(counts: DataFrame, round_to: int = 4) -> DataFrame:
     """Pearson chi-square statistic for a (category, na, nb) contingency
     table — the categorical drift test PSI/KS can't express (they need an

@@ -14,6 +14,8 @@ from typing import Dict, List, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from ..cache import persist_tracked
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -315,8 +317,13 @@ def mad_outliers_by_group(
     base = df.select(F.col(group_col).alias("grp"), F.col(value_col).alias("x")).filter(
         F.col("x").isNotNull()
     )
-    med = base.groupBy("grp").agg(F.expr("percentile(x, 0.5)").alias("_med"))
-    mad = (
+    # the per-group stat tables are KB-scale but feed 2 branches each —
+    # persist them (tracked) or every consumer re-executes the percentile
+    # pass over the data (no common-subplan dedup in Spark)
+    med = persist_tracked(
+        base.groupBy("grp").agg(F.expr("percentile(x, 0.5)").alias("_med"))
+    )
+    mad = persist_tracked(
         base.join(F.broadcast(med), "grp")
         .select("grp", F.abs(F.col("x") - F.col("_med")).alias("_dev"))
         .groupBy("grp")

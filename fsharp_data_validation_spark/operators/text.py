@@ -518,10 +518,12 @@ def tfidf_top_terms(
     the last ulp between libm implementations; two true scores within
     1e-4 tie and fall to the lexicographic break).
 
-    Shape: explode -> (doc, term) hash agg (one shuffle, map-side combine)
-    -> term document-frequency agg reusing the previous shuffle's
-    partitioning where AQE allows -> shuffle join tf x df on the term ->
-    per-doc window bounded by doc vocabulary. The 1-row N aggregate is a
+    Shape: explode -> (doc, term) hash agg (one shuffle, map-side combine);
+    document frequency is a COUNT WINDOW over that same tf relation
+    partitioned by term — NOT a second aggregate + join, which would
+    re-plan (and re-execute) the whole explode+agg subtree (Spark does not
+    dedupe common subplans; caught by tools/audit_scans.py) -> per-doc
+    ranking window bounded by doc vocabulary. The 1-row N aggregate is a
     broadcast scalar, never a driver collect."""
     from pyspark.sql import Window
 
@@ -530,17 +532,15 @@ def tfidf_top_terms(
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     )
     tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # tf has one row per (doc, term), so rows-per-term == document frequency
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = df.filter(F.col(text_col).isNotNull()).agg(
         F.countDistinct(id_col).alias("n_docs")
     )
-    score = F.round(
-        F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), round_to
-    )
+    score = F.round(F.col("tf") * F.log(F.col("n_docs") / df_t), round_to)
     w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
     return (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .select("doc", "term", "tf", score.alias("score"))
         .withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= top_k)

@@ -313,3 +313,29 @@ def test_report_path_evaluates_only_on_failing_slice(spark, sf):
     )
     assert "transform(" not in filter_detail
     assert "transform(" in plan  # ...but the report projection does use HOFs
+
+
+def test_round3_stat_tables_cached_and_tfidf_single_agg(spark, sf):
+    """Round-3 shapes: (a) mad_outliers / chi2_drift persist their KB-scale
+    stat tables, so consuming branches are InMemoryTableScans, not re-runs
+    of the data aggregate; (b) tfidf_top_terms computes document frequency
+    as a window over the SAME (doc, term) aggregate — exactly one explode,
+    one hash aggregate, no tf-vs-df self-join."""
+    import __spark_entry__ as e
+    from fsharp_data_validation_spark.cache import release_caches
+
+    for q in (e.q_mad_outliers, e.q_chi2_drift):
+        df = q(spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, q.__name__
+        release_caches(spark, sweep_rdds=True)
+
+    import re
+
+    plan = _plan(e.q_tfidf_top_terms(spark, sf))
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 1  # ONE explode
+    header = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in header and "ShuffledHashJoin" not in header
+    # the only join is the broadcast of the 1-row n_docs scalar
+    assert header.count("Join") == header.count("BroadcastNestedLoopJoin") == 1
