@@ -627,6 +627,65 @@ def q_embedding_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style dataset-level check suite in ONE aggregation pass
+    (operators/checks.py:dataset_checks): completeness, key-uniqueness
+    ratio, role compliance, size and bound metrics, each thresholded into a
+    pass/fail row — the table-granularity lift of the reference's
+    ``qed``/``Proof.combine`` (Proof.fs:102-113)."""
+    from fsharp_data_validation_spark.operators.checks import (
+        Check,
+        completeness,
+        compliance,
+        dataset_checks,
+        uniqueness,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    checks = [
+        Check("text_completeness", completeness("text"), ">=", 0.99),
+        Check("tool_completeness", completeness("tool"), ">=", 0.5),
+        Check("key_uniqueness", uniqueness(["conv_id", "turn_idx"]), ">=", 1.0),
+        Check("role_compliance", compliance(F.col("role").isin(list(ROLES))), ">=", 0.98),
+        Check("max_text_len", F.max(F.length("text")), "<=", 20000.0),
+        Check("row_count", F.count(F.lit(1)), ">=", 100.0),
+    ]
+    return dataset_checks(t, checks)
+
+
+def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window budget validation: turns whose running conversation
+    token total exceeds the budget (operators/crossrow.py:
+    context_budget_violations) — the cross-row form of maxLength
+    (Library.fs:80). One window pass, one shuffle on conv_id."""
+    from fsharp_data_validation_spark.operators.crossrow import (
+        context_budget_violations,
+    )
+
+    return context_budget_violations(_transcripts(spark, sf_dir), budget=128)
+
+
+def q_turn_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-conversation repeated-turn (agent-loop) detection
+    (operators/crossrow.py:repeated_turns): same normalized text appearing
+    2+ times within one conversation; group key is (conv, content) so
+    corpus-common phrases are not flagged."""
+    from fsharp_data_validation_spark.operators.crossrow import repeated_turns
+
+    return repeated_turns(_transcripts(spark, sf_dir))
+
+
+def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises drift on the standard first/second-half split
+    (operators/drift.py:cvm_joined) — integrates squared ECDF differences
+    against the pooled distribution, catching spread-out drift KS's single
+    max misses. Same one-scan conditional split as psi/ks/js/w1."""
+    from fsharp_data_validation_spark.operators.drift import cvm_joined
+
+    t = _transcripts(spark, sf_dir).select(F.length("text").alias("text_len"), "ts")
+    return cvm_joined(split_histograms(t, "text_len", "ts", 10.0, 20), round_to=6)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1239,6 +1298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "tfidf_top_terms": q_tfidf_top_terms,
         "embedding_contamination": q_embedding_contamination,
+        "dataset_checks": q_dataset_checks,
+        "context_budget": q_context_budget,
+        "turn_loops": q_turn_loops,
+        "cvm_drift": q_cvm_drift,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -1731,6 +1794,95 @@ def oracle_sql() -> dict[str, str]:
                      ROUND({_COSINE_SQL.format(a='a.e', b='b.e')}, 6) AS sim
               FROM tagged a JOIN tagged b ON a.side = 0 AND b.side = 1
             ) p WHERE sim >= 0.8
+            """
+        ),
+        "dataset_checks": with_transcripts(
+            """
+            , agg AS (
+              SELECT
+                ROUND(AVG(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS m_text_comp,
+                ROUND(AVG(CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS m_tool_comp,
+                ROUND(
+                  COUNT(DISTINCT CASE WHEN conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                                      THEN conv_id || '|' || CAST(turn_idx AS VARCHAR) END)
+                  * 1.0 / COUNT(*), 4) AS m_uniq,
+                ROUND(AVG(CASE WHEN role IN ('system','user','assistant','tool')
+                               THEN 1.0 ELSE 0.0 END), 4) AS m_role,
+                ROUND(CAST(MAX(length(text)) AS DOUBLE), 4) AS m_maxlen,
+                ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS m_rows
+              FROM transcripts
+            ),
+            stacked AS (
+              SELECT 'text_completeness' AS check_name, m_text_comp AS metric_value,
+                     '>=' AS op, 0.99 AS threshold FROM agg
+              UNION ALL SELECT 'tool_completeness', m_tool_comp, '>=', 0.5 FROM agg
+              UNION ALL SELECT 'key_uniqueness', m_uniq, '>=', 1.0 FROM agg
+              UNION ALL SELECT 'role_compliance', m_role, '>=', 0.98 FROM agg
+              UNION ALL SELECT 'max_text_len', m_maxlen, '<=', 20000.0 FROM agg
+              UNION ALL SELECT 'row_count', m_rows, '>=', 100.0 FROM agg
+            )
+            SELECT check_name, metric_value, op, CAST(threshold AS DOUBLE) AS threshold,
+                   CASE WHEN (op = '>=' AND metric_value >= threshold)
+                          OR (op = '<=' AND metric_value <= threshold)
+                        THEN 'pass' ELSE 'fail' END AS status
+            FROM stacked
+            """
+        ),
+        "context_budget": with_transcripts(
+            """
+            , tok AS (
+              SELECT conv_id, turn_idx, role, ts,
+                     COALESCE(text, '') AS t0, COALESCE(tool, '') AS o0,
+                     CASE WHEN text IS NULL THEN 0
+                          ELSE length(string_split(text, ' ')) END AS n_tokens
+              FROM transcripts
+            )
+            SELECT conv_id, turn_idx, role,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM (
+              SELECT conv_id, turn_idx, role, n_tokens,
+                     SUM(n_tokens) OVER (
+                       PARTITION BY conv_id
+                       ORDER BY turn_idx, ts, role, t0, o0
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_tokens
+              FROM tok
+            ) x WHERE cum_tokens > 128
+            """
+        ),
+        "turn_loops": with_transcripts(
+            """
+            SELECT conv_id,
+                   md5(lower(trim(text))) AS text_digest,
+                   CAST(COUNT(*) AS BIGINT) AS n_repeats,
+                   MIN(turn_idx) AS first_turn,
+                   MAX(turn_idx) AS last_turn
+            FROM transcripts
+            WHERE text IS NOT NULL AND trim(text) <> ''
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+            """
+        ),
+        "cvm_drift": with_transcripts(
+            f"""
+            , m AS ({_MID_SQL})
+            , ha AS ({_HIST_SQL.format(op='<')})
+            , hb AS ({_HIST_SQL.format(op='>=')})
+            , j AS (
+              SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+                     COALESCE(ha.n, 0) AS na, COALESCE(hb.n, 0) AS nb
+              FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket
+            )
+            SELECT ROUND(SUM(w * (fa - fb) * (fa - fb)), 6) AS cvm FROM (
+              SELECT (na + nb) * 1.0
+                       / ((SELECT SUM(na) FROM j) + (SELECT SUM(nb) FROM j)) AS w,
+                     SUM(na) OVER (ORDER BY bucket) * 1.0
+                       / (SELECT SUM(na) FROM j) AS fa,
+                     SUM(nb) OVER (ORDER BY bucket) * 1.0
+                       / (SELECT SUM(nb) FROM j) AS fb
+              FROM j
+            ) t
             """
         ),
         "psi_drift": with_transcripts(

@@ -181,3 +181,86 @@ def conversation_flow_violations(
         role_col,
         F.explode(F.filter(codes, lambda c: c.isNotNull())).alias("code"),
     )
+
+
+def context_budget_violations(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Context-window budget validation: the running whitespace-token total
+    of a conversation (ordered by turn) must stay within ``budget`` — the
+    cross-row form of the reference's ``maxLength`` bound (Library.fs:80):
+    maxLength constrains one value's size, this constrains the SUM of sizes
+    along the conversation prefix. Flags every turn whose cumulative token
+    count exceeds the budget: (conv, turn_idx, role, n_tokens, cum_tokens).
+
+    Shape: one window pass per conversation — a single shuffle on conv_id
+    (zero on a conv_id-bucketed layout); window state is bounded by max
+    conversation length, not table size. The frame is an explicit ROWS
+    running frame over the same total order as ``conversation_flow_violations``
+    (turn_idx, ts, role, text, tool) so tie handling is engine-portable:
+    fully-identical rows are the only possible ties, and their cum values
+    form the same multiset under any tiebreak. Token rule matches
+    ``operators/text.py:token_count`` (single-space split; NULL -> 0)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    o = F.coalesce(F.col(tool_col), F.lit(""))
+    n_tokens = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.col(text_col), " ")))
+        .cast("bigint")
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col, ts_col, role_col, t, o)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = df.select(
+        conv_col,
+        idx_col,
+        role_col,
+        n_tokens.alias("n_tokens"),
+        F.sum(n_tokens).over(w).alias("cum_tokens"),
+    )
+    return with_cum.filter(F.col("cum_tokens") > budget)
+
+
+def repeated_turns(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Intra-conversation loop detection: the same normalized turn text
+    appearing ``min_repeats``+ times within ONE conversation — the signature
+    of a stuck agent loop (and of copy-paste template turns). Distinct from
+    corpus-level dedup (operators/dedup.py): the group key is
+    (conversation, content), so a phrase common ACROSS conversations is not
+    flagged.
+
+    Returns (conv, text_digest, n_repeats, first_turn, last_turn). Shape:
+    one hash aggregation on (conv, md5(lower(trim(text)))) with map-side
+    combine — per-group state is O(1); skew is bounded by max conversation
+    length, not corpus frequency, because the digest is scoped to the
+    conversation. Empty/NULL text is excluded (emptiness is the row suite's
+    ``isNotNull`` job — Library.fs:62-67)."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .groupBy(
+            F.col(conv_col),
+            F.md5(norm).alias("text_digest"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_repeats"),
+            F.min(idx_col).alias("first_turn"),
+            F.max(idx_col).alias("last_turn"),
+        )
+        .filter(F.col("n_repeats") >= min_repeats)
+    )

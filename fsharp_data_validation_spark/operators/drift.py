@@ -458,3 +458,29 @@ def chi2_joined(counts: DataFrame, round_to: int = 4) -> DataFrame:
         F.round(F.sum(term), round_to).alias("chi2"),
         (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
     )
+
+
+def cvm_joined(j: DataFrame, round_to: int = 4) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion over a joined histogram
+    (bucket, na, nb): omega^2 = sum_b w_b * (F_a(b) - F_b(b))^2 with
+    w_b = (na_b + nb_b) / (N_a + N_b) — the squared ECDF difference
+    integrated against the POOLED empirical distribution (the binned form
+    of the classic two-sample CvM integrand; Anderson 1962 is the public
+    reference). Where KS reacts to the single worst ECDF gap, CvM
+    accumulates drift spread across the whole distribution — the complement
+    the drift family was missing.
+
+    Shape: identical to ``ks_joined`` — windows over the <= n_buckets-row
+    joined histogram, totals via whole-relation window (no re-planned
+    aggregate subtree), one tiny final reduce. Returns a single row (cvm)."""
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    fa = F.sum("na").over(wcum) / F.sum("na").over(wall)
+    fb = F.sum("nb").over(wcum) / F.sum("nb").over(wall)
+    w = (F.col("na") + F.col("nb")) / (
+        F.sum("na").over(wall) + F.sum("nb").over(wall)
+    )
+    return (
+        j.select((w * F.pow(fa - fb, F.lit(2))).alias("term"))
+        .agg(F.round(F.sum("term"), round_to).alias("cvm"))
+    )

@@ -150,3 +150,121 @@ def test_cross_corpus_cosine_equals_bruteforce(spark):
         if round(cos(va, vb), 6) >= 0.8
     )
     assert got == want and len(want) >= 5
+
+
+def test_dataset_checks_one_pass(spark):
+    from fsharp_data_validation_spark.operators.checks import (
+        Check,
+        completeness,
+        compliance,
+        dataset_checks,
+        uniqueness,
+    )
+
+    rows = [
+        Row(conv_id="c1", turn_idx=0, role="user", text="hi"),
+        Row(conv_id="c1", turn_idx=1, role="assistant", text=None),
+        Row(conv_id="c1", turn_idx=1, role="weird", text="dup key"),
+        Row(conv_id="c2", turn_idx=0, role="user", text="yo"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = dataset_checks(
+        df,
+        [
+            Check("text_comp", completeness("text"), ">=", 0.8),
+            Check("role_ok", compliance(F.col("role").isin("user", "assistant")), ">=", 1.0),
+            Check("uniq", uniqueness(["conv_id", "turn_idx"]), ">=", 1.0),
+            Check("rows", F.count(F.lit(1)), "==", 4.0),
+        ],
+    )
+    got = {r["check_name"]: (r["metric_value"], r["status"]) for r in out.collect()}
+    assert got["text_comp"] == (0.75, "fail")
+    assert got["role_ok"] == (0.75, "fail")
+    assert got["uniq"] == (0.75, "fail")  # 3 distinct keys / 4 rows
+    assert got["rows"] == (4.0, "pass")
+    # one aggregation pass: a single final physical aggregate, no join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_dataset_checks_rejects_bad_specs(spark):
+    import pytest as _pytest
+
+    from fsharp_data_validation_spark.operators.checks import Check, dataset_checks
+
+    with _pytest.raises(ValueError):
+        Check("x", F.count(F.lit(1)), "!=", 1.0)
+    df = spark.range(1)
+    with _pytest.raises(ValueError):
+        dataset_checks(df, [])
+    dup = [
+        Check("same", F.count(F.lit(1)), ">=", 0.0),
+        Check("same", F.count(F.lit(1)), ">=", 0.0),
+    ]
+    with _pytest.raises(ValueError):
+        dataset_checks(df, dup)
+
+
+def test_context_budget_violations(spark):
+    from fsharp_data_validation_spark.operators.crossrow import (
+        context_budget_violations,
+    )
+
+    rows = [
+        # c1: 3 + 3 + 3 tokens -> cum 3, 6, 9; budget 7 flags only the last
+        ("c1", 0, "user", "a b c", None, 0),
+        ("c1", 1, "assistant", "d e f", None, 1),
+        ("c1", 2, "user", "g h i", None, 2),
+        # c2: NULL text counts 0 tokens; never over budget
+        ("c2", 0, "user", None, None, 0),
+        ("c2", 1, "assistant", "x", None, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [
+        (r["conv_id"], r["turn_idx"], r["n_tokens"], r["cum_tokens"])
+        for r in context_budget_violations(df, budget=7).collect()
+    ]
+    assert got == [("c1", 2, 3, 9)]
+
+
+def test_repeated_turns_scoped_to_conversation(spark):
+    from fsharp_data_validation_spark.operators.crossrow import repeated_turns
+
+    rows = [
+        # c1: "Retry " repeated 3x under normalization (case/whitespace)
+        Row(conv_id="c1", turn_idx=0, text="retry"),
+        Row(conv_id="c1", turn_idx=1, text="Retry"),
+        Row(conv_id="c1", turn_idx=5, text="  retry  "),
+        Row(conv_id="c1", turn_idx=2, text="ok"),
+        # same text in ANOTHER conversation: not a loop (scoped key)
+        Row(conv_id="c2", turn_idx=0, text="retry"),
+        # empty/NULL text excluded
+        Row(conv_id="c3", turn_idx=0, text="   "),
+        Row(conv_id="c3", turn_idx=1, text="   "),
+        Row(conv_id="c3", turn_idx=2, text=None),
+    ]
+    got = repeated_turns(spark.createDataFrame(rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["conv_id"], r["n_repeats"], r["first_turn"], r["last_turn"]) == (
+        "c1", 3, 0, 5,
+    )
+
+
+def test_cvm_closed_forms(spark):
+    from fsharp_data_validation_spark.operators.drift import cvm_joined
+
+    # identical histograms -> 0
+    same = spark.createDataFrame(
+        [(0, 10, 10), (1, 30, 30)], "bucket int, na long, nb long"
+    )
+    assert cvm_joined(same).collect()[0]["cvm"] == 0.0
+
+    # fully disjoint mass: Fa=[1,1], Fb=[0,1], w=[.5,.5] -> 0.5*1 + 0.5*0
+    disjoint = spark.createDataFrame(
+        [(0, 10, 0), (1, 0, 10)], "bucket int, na long, nb long"
+    )
+    assert abs(cvm_joined(disjoint).collect()[0]["cvm"] - 0.5) < 1e-9
