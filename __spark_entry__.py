@@ -686,6 +686,30 @@ def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cvm_joined(split_histograms(t, "text_len", "ts", 10.0, 20), round_to=6)
 
 
+def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter rollup: per-day frequent-token
+    sketches merged to global top-10 without rescanning the data
+    (operators/stats.py:mg_partition_sketches/mg_rollup) — the frequent-items
+    companion to the HLL distinct-count rollup. k=1024 exceeds this corpus's
+    vocabulary, so the summary is exact here (err_bound = 0) and the DuckDB
+    oracle pins the rollup against exact counts; the n/(k+1) undercount
+    bound for k < vocab is pinned by tests/test_round3_ops.py."""
+    from fsharp_data_validation_spark.operators.stats import (
+        mg_partition_sketches,
+        mg_rollup,
+    )
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            F.explode(F.split(F.col("text"), " ")).alias("token"),
+        )
+    )
+    return mg_rollup(mg_partition_sketches(t, "day", "token", k=1024), top=10)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1302,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_budget": q_context_budget,
         "turn_loops": q_turn_loops,
         "cvm_drift": q_cvm_drift,
+        "freq_items": q_freq_items,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -1862,6 +1887,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL AND trim(text) <> ''
             GROUP BY 1, 2
             HAVING COUNT(*) >= 2
+            """
+        ),
+        "freq_items": with_transcripts(
+            """
+            , toks AS (
+              SELECT unnest(string_split(text, ' ')) AS item
+              FROM transcripts WHERE text IS NOT NULL
+            )
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS est_count,
+                   CAST(0 AS BIGINT) AS err_bound
+            FROM toks GROUP BY 1
+            ORDER BY est_count DESC, item ASC LIMIT 10
             """
         ),
         "cvm_drift": with_transcripts(

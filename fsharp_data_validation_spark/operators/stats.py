@@ -352,3 +352,115 @@ def mad_outliers_by_group(
             "outlier_rate",
         )
     )
+
+
+# --- Misra-Gries frequent-items sketches (mergeable, like the HLL rollup) ------
+#
+# Public basis: Misra & Gries 1982 ("Finding repeated elements") and the
+# mergeable-summaries treatment (Agarwal et al., PODS 2012): a size-k summary
+# whose per-item estimate undercounts the true frequency by at most d, the
+# count subtracted at truncation (d <= n/(k+1)); summaries merge by item-wise
+# addition with error bounds adding.
+
+
+def mg_partition_sketches(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    k: int = 1024,
+) -> DataFrame:
+    """Materialize a size-<=k Misra-Gries frequent-items summary of
+    ``value_col`` PER PARTITION: (part, item, est, err) where ``est``
+    undercounts the partition-true count by at most ``err`` (constant per
+    part) and never overcounts.
+
+    Same architecture as ``hll_partition_sketches``: sketch each ingest
+    partition once, persist the k-row-per-partition sketch table next to the
+    manifest, answer later heavy-hitter questions over any partition subset
+    by merging sketches (``mg_rollup``) without rescanning the data.
+
+    Shape: the build is an exact (part, item) hash aggregation — map-side
+    combine, one shuffle, per-task state bounded by distinct-per-task — then
+    the exact->MG reduction entirely JVM-side: rank items per part (count
+    desc, item asc: deterministic), subtract the (k+1)-th count from the
+    kept k and drop non-positives. The MATERIALIZED summary is what's
+    bounded (k rows/part at any scale); for adversarially unbounded vocab
+    swap the build stage for a streaming per-partition MG (applyInPandas)
+    with the same merge contract."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(part_col).alias("part"), F.col(value_col).alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("n"), F.asc("item"))
+    ranked = persist_tracked(
+        counts.select("part", "item", "n", F.row_number().over(w).alias("rnk"))
+    )
+    # per-part truncation threshold d = count of the (k+1)-th item (0 if none)
+    thresh = ranked.filter(F.col("rnk") == k + 1).select(
+        "part", F.col("n").alias("d")
+    )
+    return (
+        ranked.filter(F.col("rnk") <= k)
+        .join(F.broadcast(thresh), "part", "left")
+        .select(
+            "part",
+            "item",
+            (F.col("n") - F.coalesce(F.col("d"), F.lit(0))).alias("est"),
+            F.coalesce(F.col("d"), F.lit(0)).alias("err"),
+        )
+        .filter(F.col("est") > 0)
+    )
+
+
+def mg_rollup(
+    sketches: DataFrame,
+    parts: Sequence[str] | None = None,
+    k: int | None = None,
+    top: int | None = None,
+) -> DataFrame:
+    """Heavy hitters for an arbitrary partition subset from the sketch table
+    alone (no data rescan): item-wise sum of estimates, error bounds adding
+    across merged sketches (Agarwal et al. merge rule). Optional ``k``
+    re-truncates the merged summary to size k (the subtracted count joins
+    the error bound); ``top`` keeps the top-``top`` rows by (est desc, item
+    asc). Returns (item, est_count, err_bound): for every true count c,
+    est_count <= c <= est_count + err_bound. All KB-scale arithmetic —
+    the sketch table is k rows per partition regardless of data size."""
+    from pyspark.sql import Window
+
+    s = sketches if parts is None else sketches.filter(F.col("part").isin(list(parts)))
+    err_total = s.groupBy("part").agg(F.first("err").alias("e")).agg(
+        F.coalesce(F.sum("e"), F.lit(0)).alias("err_bound")
+    )
+    merged = s.groupBy("item").agg(F.sum("est").alias("est_count"))
+    w = Window.orderBy(F.desc("est_count"), F.asc("item"))
+    ranked = merged.select(
+        "item", "est_count", F.row_number().over(w).alias("_rnk")
+    )
+    if k is not None:
+        d_row = ranked.filter(F.col("_rnk") == k + 1).select(
+            F.col("est_count").alias("_d")
+        )
+        ranked = (
+            ranked.filter(F.col("_rnk") <= k)
+            .crossJoin(F.broadcast(d_row.agg(F.coalesce(F.max("_d"), F.lit(0)).alias("_d"))))
+            .select(
+                "item",
+                (F.col("est_count") - F.col("_d")).alias("est_count"),
+                "_rnk",
+                F.col("_d").alias("_extra_err"),
+            )
+            .filter(F.col("est_count") > 0)
+        )
+    else:
+        ranked = ranked.withColumn("_extra_err", F.lit(0))
+    if top is not None:
+        ranked = ranked.filter(F.col("_rnk") <= top)
+    return ranked.crossJoin(F.broadcast(err_total)).select(
+        "item",
+        "est_count",
+        (F.col("err_bound") + F.col("_extra_err")).cast("bigint").alias("err_bound"),
+    )

@@ -268,3 +268,69 @@ def test_cvm_closed_forms(spark):
         [(0, 10, 0), (1, 0, 10)], "bucket int, na long, nb long"
     )
     assert abs(cvm_joined(disjoint).collect()[0]["cvm"] - 0.5) < 1e-9
+
+
+def test_misra_gries_sketch_bounds_and_merge(spark):
+    from fsharp_data_validation_spark.operators.stats import (
+        mg_partition_sketches,
+        mg_rollup,
+    )
+
+    # two partitions with a known skewed stream; k=2 forces truncation
+    data = (
+        [("p1", "a")] * 10 + [("p1", "b")] * 6 + [("p1", "c")] * 3
+        + [("p1", "d")] * 1
+        + [("p2", "a")] * 4 + [("p2", "c")] * 5 + [("p2", "e")] * 2
+    )
+    df = spark.createDataFrame(data, "part string, v string")
+    sk = mg_partition_sketches(df, "part", "v", k=2).collect()
+    by_part = {}
+    for r in sk:
+        by_part.setdefault(r["part"], {})[r["item"]] = (r["est"], r["err"])
+    # p1: counts a=10 b=6 c=3 d=1 -> d(threshold)=c's 3; kept a:7 b:3, err=3
+    assert by_part["p1"] == {"a": (7, 3), "b": (3, 3)}
+    # p2: counts c=5 a=4 e=2 -> threshold=2; kept c:3 a:2, err=2
+    assert by_part["p2"] == {"c": (3, 2), "a": (2, 2)}
+
+    rolled = {
+        r["item"]: (r["est_count"], r["err_bound"])
+        for r in mg_rollup(
+            mg_partition_sketches(df, "part", "v", k=2)
+        ).collect()
+    }
+    true = {"a": 14, "b": 6, "c": 8, "d": 1, "e": 2}
+    # merge rule: est sums, errs add (3 + 2 = 5); est <= true <= est + err
+    assert rolled == {"a": (9, 5), "b": (3, 5), "c": (3, 5)}
+    for item, (est, err) in rolled.items():
+        assert est <= true[item] <= est + err
+
+    # re-truncation to k=1 moves the subtracted count into the error bound
+    retrunc = mg_rollup(mg_partition_sketches(df, "part", "v", k=2), k=1).collect()
+    assert len(retrunc) == 1
+    r = retrunc[0]
+    assert r["item"] == "a" and r["est_count"] == 6 and r["err_bound"] == 8
+    assert r["est_count"] <= true["a"] <= r["est_count"] + r["err_bound"]
+
+    # partition-subset rollup never rescans: restrict to p2 only
+    only_p2 = {
+        r["item"]: (r["est_count"], r["err_bound"])
+        for r in mg_rollup(
+            mg_partition_sketches(df, "part", "v", k=2), parts=["p2"]
+        ).collect()
+    }
+    assert only_p2 == {"c": (3, 2), "a": (2, 2)}
+
+
+def test_misra_gries_exact_when_k_exceeds_vocab(spark):
+    from fsharp_data_validation_spark.operators.stats import (
+        mg_partition_sketches,
+        mg_rollup,
+    )
+
+    data = [("p1", "x")] * 3 + [("p1", "y")] * 2 + [("p2", "x")] * 4
+    df = spark.createDataFrame(data, "part string, v string")
+    rolled = {
+        r["item"]: (r["est_count"], r["err_bound"])
+        for r in mg_rollup(mg_partition_sketches(df, "part", "v", k=16)).collect()
+    }
+    assert rolled == {"x": (7, 0), "y": (2, 0)}
