@@ -710,6 +710,69 @@ def q_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_rollup(mg_partition_sketches(t, "day", "token", k=1024), top=10)
 
 
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments-sketch rollup: per-day (n, mean, M2, M3, M4)
+    central-sum sketches over text length, Chan-merged to exact global
+    mean/var/skew/kurtosis WITHOUT rescanning the data
+    (operators/stats.py:moments_partition_sketches/moments_rollup) — the
+    exact-statistics companion to the HLL and Misra-Gries rollups. Unlike
+    those, the merge is lossless, so the DuckDB oracle (direct Σ(x-μ)^k on
+    the raw rows) pins the rollup EXACTLY, not within sketch error."""
+    from fsharp_data_validation_spark.operators.stats import (
+        moments_partition_sketches,
+        moments_rollup,
+    )
+
+    t = (
+        _transcripts(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select(F.to_date("ts").alias("day"), F.length("text").alias("text_len"))
+    )
+    return moments_rollup(moments_partition_sketches(t, "day", "text_len"))
+
+
+def q_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency violation profile (operators/checks.py:
+    fd_violations): is (conv_id, turn_idx) a key for role/text, and does a
+    tool name determine its role? The injected duplicate-(conv_id,turn_idx)
+    rows (transcripts.py derivation, event_id % 101) guarantee true
+    positives. One independent map-side-combined aggregate per FD; |fds|
+    output rows at any scale."""
+    from fsharp_data_validation_spark.operators.checks import fd_violations
+
+    return fd_violations(
+        _transcripts(spark, sf_dir),
+        [
+            (["conv_id", "turn_idx"], "role"),
+            (["conv_id", "turn_idx"], "text"),
+            (["tool"], "role"),
+        ],
+    )
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford conformance of document lengths
+    (operators/checks.py:benford_check): ≤9-row digit histogram with the
+    shared chi² distance — string-based digit extraction so Spark and
+    DuckDB agree bit-for-bit (log10-based extraction misclassifies exact
+    powers of ten)."""
+    from fsharp_data_validation_spark.operators.checks import benford_check
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return benford_check(load_docs(spark, sf_dir), "n_chars")
+
+
+def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule: per-document top word-bigram character
+    fraction (operators/text.py:top_ngram_fraction) — row-local HOF n-gram
+    build, one explode + hash aggregate, per-doc window (skew bounded by
+    the longest document). Ties break lexicographically on both engines."""
+    from fsharp_data_validation_spark.operators.text import top_ngram_fraction
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return top_ngram_fraction(load_docs(spark, sf_dir), "doc_id", "text", n=2)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1327,6 +1390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_loops": q_turn_loops,
         "cvm_drift": q_cvm_drift,
         "freq_items": q_freq_items,
+        "moments": q_moments,
+        "fd_check": q_fd_check,
+        "benford": q_benford,
+        "top_ngram": q_top_ngram,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -1899,6 +1966,126 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS err_bound
             FROM toks GROUP BY 1
             ORDER BY est_count DESC, item ASC LIMIT 10
+            """
+        ),
+        # moments: recompute Σ(x-μ)^k DIRECTLY on the raw rows — the
+        # independent spec the Chan-merged per-day sketches must equal
+        "moments": with_transcripts(
+            """
+            , vals AS (
+              SELECT CAST(length(text) AS DOUBLE) AS v, CAST(ts AS DATE) AS day
+              FROM transcripts WHERE text IS NOT NULL
+            )
+            , s AS (
+              SELECT COUNT(*) AS n, AVG(v) AS mu, COUNT(DISTINCT day) AS p
+              FROM vals
+            )
+            , c AS (
+              SELECT SUM(POW(v - mu, 2)) AS m2,
+                     SUM(POW(v - mu, 3)) AS m3,
+                     SUM(POW(v - mu, 4)) AS m4
+              FROM vals, s
+            )
+            SELECT CAST(s.p AS BIGINT) AS n_parts,
+                   CAST(s.n AS BIGINT) AS n_values,
+                   ROUND(s.mu, 4) AS mean,
+                   ROUND(c.m2 / s.n, 4) AS var_pop,
+                   ROUND(CASE WHEN c.m2 > 0
+                              THEN SQRT(s.n) * c.m3 / POW(c.m2, 1.5)
+                              ELSE 0 END, 4) AS skew,
+                   ROUND(CASE WHEN c.m2 > 0
+                              THEN s.n * c.m4 / (c.m2 * c.m2) - 3
+                              ELSE 0 END, 4) AS kurt
+            FROM s, c
+            """
+        ),
+        "fd_check": with_transcripts(
+            """
+            , k1 AS (
+              SELECT conv_id, turn_idx, COUNT(DISTINCT role) AS n_rhs,
+                     COUNT(*) AS n_rows
+              FROM transcripts GROUP BY 1, 2
+            )
+            , k2 AS (
+              SELECT conv_id, turn_idx, COUNT(DISTINCT text) AS n_rhs,
+                     COUNT(*) AS n_rows
+              FROM transcripts GROUP BY 1, 2
+            )
+            , k3 AS (
+              SELECT tool, COUNT(DISTINCT role) AS n_rhs, COUNT(*) AS n_rows
+              FROM transcripts GROUP BY 1
+            )
+            SELECT 'conv_id,turn_idx->role' AS fd,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS violating_keys,
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+                     AS violating_rows,
+                   ROUND(AVG(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0.0 END), 4)
+                     AS violation_rate
+            FROM k1
+            UNION ALL
+            SELECT 'conv_id,turn_idx->text',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT),
+                   ROUND(AVG(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0.0 END), 4)
+            FROM k2
+            UNION ALL
+            SELECT 'tool->role',
+                   CAST(COUNT(*) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(SUM(CASE WHEN n_rhs > 1 THEN n_rows ELSE 0 END) AS BIGINT),
+                   ROUND(AVG(CASE WHEN n_rhs > 1 THEN 1.0 ELSE 0.0 END), 4)
+            FROM k3
+            """
+        ),
+        "benford": with_docs(
+            """
+            , pos AS (
+              SELECT CAST(n_chars AS BIGINT) AS v FROM docs WHERE n_chars > 0
+            )
+            , a AS (
+              SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+                     COUNT(*) AS n
+              FROM pos GROUP BY 1
+            )
+            , t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM a)
+            , e AS (
+              SELECT digit, n, n / tot AS obs_p,
+                     LOG10(1 + 1.0 / digit) AS exp_p, tot
+              FROM a, t
+            )
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   ROUND(obs_p, 4) AS obs_p,
+                   ROUND(exp_p, 4) AS exp_p,
+                   ROUND((SELECT SUM(POW(n2.n - n2.tot * n2.exp_p, 2)
+                                     / (n2.tot * n2.exp_p)) FROM e n2), 4) AS chi2
+            FROM e
+            """
+        ),
+        "top_ngram": with_docs(
+            """
+            , g AS (
+              SELECT doc_id AS id, length(text) AS chars,
+                     unnest([w[i] || ' ' || w[i + 1]
+                             for i in range(1, len(w))]) AS ngram
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs)
+              WHERE text IS NOT NULL AND len(w) >= 2
+            )
+            , c AS (
+              SELECT id, ngram, COUNT(*) AS n_occurrences, MAX(chars) AS chars
+              FROM g GROUP BY 1, 2
+            )
+            SELECT id, ngram AS top_ngram,
+                   CAST(n_occurrences AS BIGINT) AS n_occurrences,
+                   ROUND(n_occurrences * length(ngram) * 1.0 / chars, 4)
+                     AS char_frac
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY n_occurrences DESC, ngram ASC) AS rk
+              FROM c
+            ) x WHERE rk = 1
             """
         ),
         "cvm_drift": with_transcripts(

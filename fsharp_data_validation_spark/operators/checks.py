@@ -14,6 +14,8 @@ O(#checks) rows: at 10^12 turns the output is the same ~10 rows.
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass
 from typing import Sequence
 
@@ -103,4 +105,105 @@ def dataset_checks(
         "op",
         "threshold",
         F.when(passed, F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
+    )
+
+
+def fd_violations(
+    df: DataFrame,
+    fds: Sequence[tuple[Sequence[str], str]],
+    round_to: int = 4,
+) -> DataFrame:
+    """Functional-dependency violation profile: for each candidate FD
+    ``lhs -> rhs``, how many lhs keys map to MORE than one distinct rhs
+    value (and how many rows sit under those keys).
+
+    The dataset-level generalization of the reference's per-field
+    ``isEqual``/uniqueness gates (Library.fs:87-96): instead of asserting a
+    single value, it measures whether a column is FUNCTIONALLY DETERMINED —
+    the standard data-profiling primitive for catching fan-out bugs
+    (duplicate (conv_id, turn_idx) pairs carrying different payloads).
+
+    One hash aggregate per FD (keyed on its own lhs, so each is an
+    independent map-side-combined shuffle) followed by an O(keys)→1-row
+    reduce; the unioned output is |fds| rows at any data scale. NULL lhs
+    values group as a key and NULL rhs values don't count as a distinct
+    value — identical semantics in Spark and ANSI SQL, so the DuckDB oracle
+    is a literal UNION ALL of the same grouped subqueries."""
+    if not fds:
+        raise ValueError("fd_violations needs at least one candidate FD")
+    outs = []
+    for lhs, rhs in fds:
+        label = ",".join(lhs) + "->" + rhs
+        keyed = df.groupBy(*[F.col(c) for c in lhs]).agg(
+            F.countDistinct(F.col(rhs)).alias("_n_rhs"),
+            F.count(F.lit(1)).alias("_n_rows"),
+        )
+        bad = F.col("_n_rhs") > 1
+        outs.append(
+            keyed.agg(
+                F.lit(label).alias("fd"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(bad.cast("long")).alias("violating_keys"),
+                F.sum(F.when(bad, F.col("_n_rows")).otherwise(F.lit(0))).alias(
+                    "violating_rows"
+                ),
+                F.round(F.avg(bad.cast("double")), round_to).alias("violation_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9.
+_BENFORD = [0.0] + [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+
+def benford_check(
+    df: DataFrame, value_col: str, round_to: int = 4
+) -> DataFrame:
+    """First-significant-digit distribution of a positive integer column vs
+    Benford's law, with the chi-square distance attached.
+
+    Digit extraction is string-based (first character of the integer's
+    decimal rendering) rather than ``floor(v/10^floor(log10 v))`` — the
+    log form misclassifies exact powers of ten when log10 lands at
+    2.9999999999…, and the string form is bit-identical across Spark and
+    DuckDB. One hash aggregate over the (at most 9)-row digit space with
+    map-side combine, then a window over those ≤9 rows for the total and
+    the shared chi² statistic — O(1) output at any scale.
+
+    Returns (digit, n, obs_p, exp_p, chi2) — ``chi2`` = Σ(n_d − N·p_d)²/
+    (N·p_d) over observed digits, constant across rows."""
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("bigint")
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    agg = (
+        df.filter(v > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp_p = F.element_at(F.lit(_BENFORD), F.col("digit") + 1)
+    w = Window.partitionBy()
+    tot = F.sum("n").over(w)
+    expected = tot * exp_p
+    return (
+        agg.select(
+            "digit",
+            "n",
+            (F.col("n") / tot).alias("_obs"),
+            exp_p.alias("_exp"),
+            F.sum((F.col("n") - expected) * (F.col("n") - expected) / expected)
+            .over(w)
+            .alias("_chi2"),
+        )
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("_obs", round_to).alias("obs_p"),
+            F.round("_exp", round_to).alias("exp_p"),
+            F.round("_chi2", round_to).alias("chi2"),
+        )
     )

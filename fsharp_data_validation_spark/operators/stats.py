@@ -464,3 +464,113 @@ def mg_rollup(
         "est_count",
         (F.col("err_bound") + F.col("_extra_err")).cast("bigint").alias("err_bound"),
     )
+
+
+def moments_partition_sketches(
+    df: DataFrame, part_col: str, value_col: str
+) -> DataFrame:
+    """Mergeable MOMENTS sketch per partition: (part, n, mean, m2, m3, m4)
+    with ``mk`` the k-th central SUM Σ(x-μ_part)^k.
+
+    The exact-statistics companion to the HLL (distinct) and Misra-Gries
+    (heavy hitters) rollups above: sketch each ingest partition once, keep
+    the O(partitions)-row sketch table, and answer mean/variance/skewness/
+    kurtosis for ANY partition subset later via ``moments_rollup`` — without
+    rescanning the data, and EXACTLY (central-sum merging is lossless,
+    unlike HLL/MG). Per-partition sums come from inverting Spark's built-in
+    population moments (var_pop, skewness = √n·M3/M2^1.5, kurtosis =
+    n·M4/M2²−3 — all one codegen hash aggregate); constant or single-row
+    partitions make those built-ins NaN/NULL, which correctly maps to zero
+    central sums (nanvl/coalesce guards).
+
+    Reference parity: dataset-granularity profiling in the spirit of
+    ``Proof.combine``'s associative evidence merging
+    (/root/reference/src/FSharp.Data.Validation/Proof.fs:102-113) — each
+    partition contributes an independently-computed summary and the merge
+    is exact and order-free."""
+    v = F.col(value_col).cast("double")
+    n = F.count(v)
+    var = F.coalesce(F.nanvl(F.var_pop(v), F.lit(0.0)), F.lit(0.0))
+    skew = F.coalesce(F.nanvl(F.skewness(v), F.lit(0.0)), F.lit(0.0))
+    kurt = F.coalesce(F.nanvl(F.kurtosis(v), F.lit(0.0)), F.lit(0.0))
+    return df.groupBy(F.col(part_col).alias("part")).agg(
+        n.alias("n"),
+        F.avg(v).alias("mean"),
+        (var * n).alias("m2"),
+        (skew * F.pow(var, F.lit(1.5)) * n).alias("m3"),
+        ((kurt + F.lit(3.0)) * var * var * n).alias("m4"),
+    )
+
+
+def moments_rollup(
+    sketches: DataFrame, parts: Sequence[str] | None = None, round_to: int = 4
+) -> DataFrame:
+    """Exact mean/var/skew/kurtosis for an arbitrary partition subset from
+    the sketch table alone (no data rescan): Chan/Terriberry parallel-merge
+    of central sums around the grand mean —
+
+        M2 = Σ M2_i + Σ n_i·d_i²
+        M3 = Σ M3_i + 3·Σ d_i·M2_i + Σ n_i·d_i³
+        M4 = Σ M4_i + 4·Σ d_i·M3_i + 6·Σ d_i²·M2_i + Σ n_i·d_i⁴
+
+    with d_i = mean_i − grand_mean. Two aggregates over the KB-scale sketch
+    table (grand mean first, then the delta-corrected sums with the one-row
+    total broadcast). Returns one row:
+    (n_parts, n_values, mean, var_pop, skew, kurt) — population formulas,
+    rounded so the DuckDB oracle (which recomputes Σ(x-μ)^k directly on the
+    raw data) hash-matches.
+
+    The sketch relation feeds BOTH aggregates, so it is persisted (tracked —
+    see cache.py) before branching: without the persist each branch re-plans
+    the subtree from the source and the data is scanned twice (the same
+    multi-branch re-plan bug class the drift grids fixed in round 2;
+    pinned by tests/test_plan_shapes.py)."""
+    from ..cache import persist_tracked
+
+    s = sketches if parts is None else sketches.filter(F.col("part").isin(list(parts)))
+    s = persist_tracked(s)
+    tot = s.agg(
+        F.count(F.lit(1)).alias("_p"),
+        F.sum("n").alias("_N"),
+        (F.sum(F.col("mean") * F.col("n")) / F.sum("n")).alias("_MU"),
+    )
+    d = F.col("mean") - F.col("_MU")
+    merged = (
+        s.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("_p").alias("n_parts"),
+            F.max("_N").alias("N"),
+            F.max("_MU").alias("MU"),
+            F.sum(F.col("m2") + F.col("n") * d * d).alias("M2"),
+            F.sum(
+                F.col("m3") + F.lit(3.0) * d * F.col("m2") + F.col("n") * d * d * d
+            ).alias("M3"),
+            F.sum(
+                F.col("m4")
+                + F.lit(4.0) * d * F.col("m3")
+                + F.lit(6.0) * d * d * F.col("m2")
+                + F.col("n") * d * d * d * d
+            ).alias("M4"),
+        )
+    )
+    safe = F.col("M2") > 0
+    return merged.select(
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.col("N").cast("bigint").alias("n_values"),
+        F.round("MU", round_to).alias("mean"),
+        F.round(F.col("M2") / F.col("N"), round_to).alias("var_pop"),
+        F.round(
+            F.when(
+                safe,
+                F.sqrt(F.col("N")) * F.col("M3") / F.pow(F.col("M2"), F.lit(1.5)),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("skew"),
+        F.round(
+            F.when(
+                safe,
+                F.col("N") * F.col("M4") / (F.col("M2") * F.col("M2")) - F.lit(3.0),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("kurt"),
+    )

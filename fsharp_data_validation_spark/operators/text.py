@@ -546,3 +546,67 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= top_k)
         .select(F.col("doc").alias(id_col), "term", "tf", "score", "rnk")
     )
+
+
+def top_ngram_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document top word-n-gram character fraction — the Gopher
+    repetition-quality rule (Rae et al. 2021, public): the share of a
+    document's characters covered by occurrences of its single most
+    frequent word n-gram. Template/boilerplate-heavy documents score high.
+
+    Shape: build n-grams row-locally with one HOF projection (words →
+    ``transform(sequence(...))`` — no self-join), explode, one hash
+    aggregate on (doc, ngram), then a window ranked (count desc, ngram asc)
+    PARTITIONED BY doc — skew is bounded by the longest document, never by
+    corpus-common n-grams, so this survives 100 TB as one explode-shuffle.
+    Ties break lexicographically so Spark and the DuckDB oracle pick the
+    same n-gram deterministically.
+
+    char_frac = occurrences · length(ngram) / length(text); documents with
+    fewer than ``n`` words emit no row (no n-gram exists).
+
+    Returns (id, top_ngram, n_occurrences, char_frac)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    # sequence(0, size-n) indexes each n-gram start; element_at is 1-based
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + F.lit(k + 1)).cast("int")) for k in range(n)]
+        ),
+    )
+    exploded = (
+        df.filter(F.col(text_col).isNotNull() & (F.size(words) >= n))
+        .select(
+            F.col(id_col).alias("id"),
+            F.length(F.col(text_col)).alias("_chars"),
+            F.explode(grams).alias("ngram"),
+        )
+    )
+    counts = exploded.groupBy("id", "ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("_chars").alias("_chars"),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.desc("n_occurrences"), F.asc("ngram")
+    )
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "id",
+            F.col("ngram").alias("top_ngram"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+            F.round(
+                F.col("n_occurrences") * F.length("ngram") / F.col("_chars"),
+                round_to,
+            ).alias("char_frac"),
+        )
+    )

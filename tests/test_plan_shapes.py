@@ -339,3 +339,22 @@ def test_round3_stat_tables_cached_and_tfidf_single_agg(spark, sf):
     assert "SortMergeJoin" not in header and "ShuffledHashJoin" not in header
     # the only join is the broadcast of the 1-row n_docs scalar
     assert header.count("Join") == header.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_moments_rollup_scans_once(spark, sf):
+    """The moments rollup's sketch table feeds two aggregates (grand mean,
+    delta-corrected merge); the persist makes both branches InMemory scans
+    over the O(partitions)-row cache so the data parquet is scanned once
+    (2 physical scans before the fix — same re-plan class as the drift
+    grids above)."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.q_moments(spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"Relation.*parquet", optimized)) <= 1
+    spark.catalog.clearCache()

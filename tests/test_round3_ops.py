@@ -334,3 +334,138 @@ def test_misra_gries_exact_when_k_exceeds_vocab(spark):
         for r in mg_rollup(mg_partition_sketches(df, "part", "v", k=16)).collect()
     }
     assert rolled == {"x": (7, 0), "y": (2, 0)}
+
+
+def test_moments_rollup_exact_merge(spark):
+    """Chan-merged per-partition sketches must equal moments computed on
+    the whole data directly — for skewed, multi-partition input including
+    a constant partition (NaN-guard path) and a singleton partition."""
+    import random
+
+    rng = random.Random(7)
+    rows = (
+        [("a", rng.expovariate(0.1)) for _ in range(400)]
+        + [("b", rng.gauss(50, 5)) for _ in range(300)]
+        + [("c", 42.0) for _ in range(50)]  # constant partition: var_pop = 0
+        + [("d", 999.0)]  # singleton partition
+    )
+    df = spark.createDataFrame(rows, "part string, v double")
+    from fsharp_data_validation_spark.operators.stats import (
+        moments_partition_sketches,
+        moments_rollup,
+    )
+
+    got = moments_rollup(
+        moments_partition_sketches(df, "part", "v"), round_to=6
+    ).collect()[0]
+
+    vals = [v for _, v in rows]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((x - mu) ** 2 for x in vals)
+    m3 = sum((x - mu) ** 3 for x in vals)
+    m4 = sum((x - mu) ** 4 for x in vals)
+    assert got["n_parts"] == 4 and got["n_values"] == n
+    assert math.isclose(got["mean"], mu, rel_tol=1e-9, abs_tol=1e-6)
+    assert math.isclose(got["var_pop"], m2 / n, rel_tol=1e-6)
+    assert math.isclose(
+        got["skew"], math.sqrt(n) * m3 / m2**1.5, rel_tol=1e-5, abs_tol=1e-5
+    )
+    assert math.isclose(
+        got["kurt"], n * m4 / (m2 * m2) - 3, rel_tol=1e-5, abs_tol=1e-5
+    )
+
+
+def test_moments_rollup_subset_and_degenerate(spark):
+    """Partition-subset rollup answers from the sketch table alone; an
+    all-constant subset exercises the M2=0 guard (skew/kurt -> 0)."""
+    from fsharp_data_validation_spark.operators.stats import (
+        moments_partition_sketches,
+        moments_rollup,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), ("b", 7.0), ("b", 7.0), ("b", 7.0)]
+    sk = moments_partition_sketches(
+        spark.createDataFrame(rows, "part string, v double"), "part", "v"
+    )
+    only_a = moments_rollup(sk, parts=["a"], round_to=6).collect()[0]
+    assert only_a["n_values"] == 2 and only_a["mean"] == 2.0
+    assert only_a["var_pop"] == 1.0  # population variance of {1,3}
+    only_b = moments_rollup(sk, parts=["b"], round_to=6).collect()[0]
+    assert only_b["var_pop"] == 0.0 and only_b["skew"] == 0.0
+    assert only_b["kurt"] == 0.0  # guard, not NaN
+
+
+def test_fd_violations_counts(spark):
+    from fsharp_data_validation_spark.operators.checks import fd_violations
+
+    rows = [
+        # key (1,1) maps to two roles -> violating (3 rows under it)
+        (1, 1, "user", "x"),
+        (1, 1, "user", "x"),
+        (1, 1, "tool", "x"),
+        # key (1,2) is clean
+        (1, 2, "user", "y"),
+        # NULL rhs never counts as a distinct value
+        (2, 1, "user", None),
+        (2, 1, "user", "z"),
+    ]
+    df = spark.createDataFrame(rows, "conv int, turn int, role string, text string")
+    got = {
+        r["fd"]: r
+        for r in fd_violations(
+            df, [(["conv", "turn"], "role"), (["conv", "turn"], "text")]
+        ).collect()
+    }
+    r = got["conv,turn->role"]
+    assert (r["n_keys"], r["violating_keys"], r["violating_rows"]) == (3, 1, 3)
+    assert abs(r["violation_rate"] - 1 / 3) < 1e-3
+    t = got["conv,turn->text"]
+    assert (t["violating_keys"], t["violating_rows"]) == (0, 0)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fd_violations(df, [])
+
+
+def test_benford_digits_and_chi2(spark):
+    """String-based first digit classifies exact powers of ten correctly;
+    chi2 matches the hand-computed statistic."""
+    from fsharp_data_validation_spark.operators.checks import benford_check
+
+    vals = [1, 10, 100, 1000, 2, 25, 300, 9, 95, -5, 0]  # <=0 dropped
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["digit"]: r for r in benford_check(df, "v", round_to=6).collect()}
+    assert set(got) == {1, 2, 3, 9}
+    assert got[1]["n"] == 4  # 1, 10, 100, 1000 all digit 1
+    assert got[3]["n"] == 1 and got[9]["n"] == 2
+    n_tot = 9
+    chi2 = 0.0
+    for d in range(1, 10):
+        exp = n_tot * math.log10(1 + 1 / d)
+        obs = {1: 4, 2: 2, 3: 1, 9: 2}.get(d, 0)
+        if obs:
+            chi2 += (obs - exp) ** 2 / exp
+    assert abs(got[1]["chi2"] - chi2) < 1e-4
+    assert abs(got[1]["obs_p"] - 4 / 9) < 1e-5
+
+
+def test_top_ngram_fraction_tiebreak_and_short_docs(spark):
+    from fsharp_data_validation_spark.operators.text import top_ngram_fraction
+
+    docs = [
+        (1, "a b a b a b"),  # "a b" x3 beats "b a" x2
+        (2, "x y"),  # single bigram
+        (3, "solo"),  # < n words: no row
+        (4, "t t t t"),  # "t t" x3
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["id"]: r for r in top_ngram_fraction(df, "doc_id", "text", 2).collect()}
+    assert set(got) == {1, 2, 4}
+    assert got[1]["top_ngram"] == "a b" and got[1]["n_occurrences"] == 3
+    # 3 occurrences x 3 chars / 11 chars
+    assert abs(got[1]["char_frac"] - 9 / 11) < 1e-3
+    assert got[4]["n_occurrences"] == 3
+    assert got[2]["top_ngram"] == "x y" and got[2]["char_frac"] == 1.0
