@@ -773,6 +773,53 @@ def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngram_fraction(load_docs(spark, sf_dir), "doc_id", "text", n=2)
 
 
+def q_chi2_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day CATEGORICAL drift: chi-square of each day's role
+    distribution against the whole-table baseline
+    (operators/drift.py:chi2_by_group) — the unordered-category member of
+    the per-group grid family (psi/ks/js/w1_by_day cover binned numerics).
+    One scan; all arithmetic on the persisted (day, role) aggregate."""
+    from fsharp_data_validation_spark.operators.drift import chi2_by_group
+
+    t = _transcripts(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "role"
+    )
+    return chi2_by_group(t, "day", "role")
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the document vocabulary
+    (operators/text.py:zipf_fit): ln(freq)-on-ln(rank) least squares for
+    the top-500 tokens — corpus-health diagnostic; the top-k cut is
+    distributed TakeOrdered, never a single-task global sort."""
+    from fsharp_data_validation_spark.operators.text import zipf_fit
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return zipf_fit(load_docs(spark, sf_dir), "text", top_k=500, min_count=2)
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher duplicate-n-gram rule: per-document fraction of characters
+    covered by word-3-grams occurring 2+ times within the document
+    (operators/text.py:dup_ngram_fraction) — catches diffuse repetition
+    the top-1-n-gram rule misses."""
+    from fsharp_data_validation_spark.operators.text import dup_ngram_fraction
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return dup_ngram_fraction(load_docs(spark, sf_dir), "doc_id", "text", n=3)
+
+
+def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus collocations by pointwise mutual information
+    (operators/text.py:pmi_bigrams): bigram/unigram hash aggregates,
+    word-keyed shuffle joins, ranking on the ROUNDED score for
+    cross-engine determinism."""
+    from fsharp_data_validation_spark.operators.text import pmi_bigrams
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return pmi_bigrams(load_docs(spark, sf_dir), "text", min_count=5, top_k=20)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1394,6 +1441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_check": q_fd_check,
         "benford": q_benford,
         "top_ngram": q_top_ngram,
+        "chi2_by_day": q_chi2_by_day,
+        "zipf": q_zipf,
+        "dup_ngrams": q_dup_ngrams,
+        "pmi": q_pmi,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -2086,6 +2137,115 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY id ORDER BY n_occurrences DESC, ngram ASC) AS rk
               FROM c
             ) x WHERE rk = 1
+            """
+        ),
+        "chi2_by_day": with_transcripts(
+            """
+            , per AS (
+              SELECT CAST(ts AS DATE) AS day, role AS cat, COUNT(*) AS n
+              FROM transcripts WHERE role IS NOT NULL GROUP BY 1, 2
+            )
+            , gl AS (SELECT cat, SUM(n) AS gn FROM per GROUP BY 1)
+            , tg AS (SELECT day, SUM(n) AS tgn FROM per GROUP BY 1)
+            , tot AS (
+              SELECT CAST(SUM(n) AS DOUBLE) AS t, COUNT(DISTINCT cat) AS k
+              FROM per
+            )
+            , grid AS (
+              SELECT tg.day, CAST(tg.tgn AS DOUBLE) AS tgn, gl.cat,
+                     CAST(gl.gn AS DOUBLE) AS gn
+              FROM tg CROSS JOIN gl
+            )
+            , j AS (
+              SELECT g.day, g.tgn, g.gn,
+                     CAST(COALESCE(per.n, 0) AS DOUBLE) AS n, tot.t, tot.k
+              FROM grid g
+              LEFT JOIN per ON per.day = g.day AND per.cat = g.cat
+              CROSS JOIN tot
+            )
+            SELECT day, CAST(tgn AS BIGINT) AS n_rows,
+                   ROUND(SUM(
+                     POW(n - (n + gn) * tgn / (tgn + t), 2)
+                       / ((n + gn) * tgn / (tgn + t))
+                     + POW(gn - (n + gn) * t / (tgn + t), 2)
+                       / ((n + gn) * t / (tgn + t))
+                   ), 4) AS chi2,
+                   CAST(MAX(k) - 1 AS BIGINT) AS dof
+            FROM j GROUP BY day, tgn
+            """
+        ),
+        "zipf": with_docs(
+            """
+            , counts AS (
+              SELECT token, COUNT(*) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS token
+                FROM docs WHERE text IS NOT NULL
+              ) GROUP BY 1 HAVING COUNT(*) >= 2
+              ORDER BY freq DESC, token ASC LIMIT 500
+            )
+            , xy AS (
+              SELECT LN(CAST(ROW_NUMBER() OVER (
+                       ORDER BY freq DESC, token ASC) AS DOUBLE)) AS x,
+                     LN(CAST(freq AS DOUBLE)) AS y
+              FROM counts
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                   ROUND(COVAR_POP(x, y) / VAR_POP(x), 4) AS slope,
+                   ROUND(POW(CORR(x, y), 2), 4) AS r_squared
+            FROM xy
+            """
+        ),
+        "dup_ngrams": with_docs(
+            """
+            , g AS (
+              SELECT doc_id AS id, length(text) AS chars,
+                     unnest([w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+                             for i in range(1, len(w) - 1)]) AS ngram
+              FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs)
+              WHERE text IS NOT NULL AND len(w) >= 3
+            )
+            , c AS (
+              SELECT id, ngram, COUNT(*) AS c, MAX(chars) AS chars
+              FROM g GROUP BY 1, 2
+            )
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS n_dup_ngrams,
+                   ROUND(LEAST(1.0, SUM(c * length(ngram)) * 1.0 / MAX(chars)), 4)
+                     AS dup_char_frac
+            FROM c WHERE c >= 2 GROUP BY id
+            """
+        ),
+        "pmi": with_docs(
+            """
+            , uni AS (
+              SELECT w, COUNT(*) AS cw FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM docs WHERE text IS NOT NULL
+              ) GROUP BY 1
+            )
+            , bi_all AS (
+              SELECT bigram, COUNT(*) AS n_ab FROM (
+                SELECT unnest([w[i] || ' ' || w[i + 1]
+                               for i in range(1, len(w))]) AS bigram
+                FROM (SELECT string_split(text, ' ') AS w
+                      FROM docs WHERE text IS NOT NULL)
+                WHERE len(w) >= 2
+              ) GROUP BY 1
+            )
+            , nw AS (SELECT CAST(SUM(cw) AS DOUBLE) AS nw FROM uni)
+            , nb AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS nb FROM bi_all)
+            , scored AS (
+              SELECT b.bigram, b.n_ab,
+                     LN((b.n_ab / nb.nb)
+                        / ((ua.cw / nw.nw) * (ub.cw / nw.nw))) AS pmi_raw
+              FROM bi_all b
+              JOIN uni ua ON ua.w = string_split(b.bigram, ' ')[1]
+              JOIN uni ub ON ub.w = string_split(b.bigram, ' ')[2]
+              CROSS JOIN nw CROSS JOIN nb
+              WHERE b.n_ab >= 5
+            )
+            SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
+                   ROUND(pmi_raw, 4) AS pmi
+            FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 20
             """
         ),
         "cvm_drift": with_transcripts(

@@ -484,3 +484,55 @@ def cvm_joined(j: DataFrame, round_to: int = 4) -> DataFrame:
         j.select((w * F.pow(fa - fb, F.lit(2))).alias("term"))
         .agg(F.round(F.sum("term"), round_to).alias("cvm"))
     )
+
+
+def chi2_by_group(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-partition CATEGORICAL drift: Pearson chi-square of each group's
+    category distribution against the whole-table baseline — completes the
+    per-group grid family (PSI/KS/JS/W1 cover binned numeric domains; this
+    is the unordered-category member, same one-scan cached-grid shape).
+
+    For each group the 2 x |categories| contingency table is (group counts,
+    global counts); chi2 = Σ cells (obs − exp)²/exp with expectations from
+    the margins, over the full group x global-category grid so categories a
+    group is MISSING still contribute (their group-cell expectation is
+    nonzero). dof = categories in the baseline − 1. All arithmetic runs on
+    the persisted |groups| x |categories| aggregate (KBs at any input
+    scale); NULL categories are dropped like ``split_category_counts``.
+    Returns (group, n_rows, chi2, dof)."""
+    per = (
+        df.filter(F.col(cat_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), F.col(cat_col).alias("cat"))
+        .groupBy("grp", "cat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per = persist_tracked(per)  # KB-scale; 4 branches read it (see psi_by_group)
+    glob = per.groupBy("cat").agg(F.sum("n").alias("gn"))
+    tg = per.groupBy("grp").agg(F.sum("n").alias("tg"))
+    tot = per.agg(F.sum("n").alias("t"), F.countDistinct("cat").alias("k"))
+    grid = tg.crossJoin(F.broadcast(glob))
+    j = (
+        grid.join(per, ["grp", "cat"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    row = F.col("n") + F.col("gn")
+    colsum = F.col("tg") + F.col("t")
+    eg = row * F.col("tg") / colsum
+    eb = row * F.col("t") / colsum
+    term = (F.col("n") - eg) ** 2 / eg + (F.col("gn") - eb) ** 2 / eb
+    return (
+        j.select("grp", "tg", "k", term.alias("term"))
+        .groupBy("grp")
+        .agg(
+            F.first("tg").alias("n_rows"),
+            F.round(F.sum("term"), round_to).alias("chi2"),
+            (F.first("k") - 1).cast("bigint").alias("dof"),
+        )
+        .select(F.col("grp").alias(group_col), "n_rows", "chi2", "dof")
+    )

@@ -610,3 +610,177 @@ def top_ngram_fraction(
             ).alias("char_frac"),
         )
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document DUPLICATED word-n-gram character fraction — the second
+    Gopher repetition rule (Rae et al. 2021): the share of a document's
+    characters covered by n-grams that occur 2+ times within it (the top-1
+    rule above catches one dominant template; this catches diffuse
+    repetition). Same row-local HOF build + explode + hash-agg shape as
+    ``top_ngram_fraction``; overlapping occurrences are counted per
+    occurrence (the standard approximation), so the ratio is LEAST-capped
+    at 1. Only documents with at least one duplicated n-gram emit a row.
+
+    Returns (id, n_dup_ngrams, dup_char_frac)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(n)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + F.lit(k + 1)).cast("int")) for k in range(n)]
+        ),
+    )
+    exploded = (
+        df.filter(F.col(text_col).isNotNull() & (F.size(words) >= n))
+        .select(
+            F.col(id_col).alias("id"),
+            F.length(F.col(text_col)).alias("_chars"),
+            F.explode(grams).alias("ngram"),
+        )
+    )
+    counts = exploded.groupBy("id", "ngram").agg(
+        F.count(F.lit(1)).alias("c"), F.max("_chars").alias("_chars")
+    )
+    return (
+        counts.filter(F.col("c") >= 2)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_ngrams"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.sum(F.col("c") * F.length("ngram")) / F.max("_chars"),
+                ),
+                round_to,
+            ).alias("dup_char_frac"),
+        )
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+    min_count: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    slope of ln(freq) on ln(rank) for the top-``top_k`` tokens — the
+    classic corpus-health diagnostic (natural text ≈ −1; synthetic or
+    template-heavy corpora deviate; Zipf 1949 / Piantadosi 2014, public).
+
+    Scale shape: explode + one map-side-combined hash aggregate for token
+    counts; the top-k cut is ``ORDER BY ... LIMIT k`` — Spark executes it
+    as distributed TakeOrdered (per-partition top-k then a k-row merge),
+    NEVER a single-task global sort; ranking and the regression aggregates
+    (covar_pop / var_pop / corr — identical names in DuckDB) then run on
+    the k-row relation. Ties order (freq desc, token asc) on both engines.
+
+    Returns one row (n_types, slope, r_squared)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    xy = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), round_to).alias("slope"),
+        F.round(F.pow(F.corr("x", "y"), F.lit(2)), round_to).alias("r_squared"),
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top corpus collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over bigram tokens and
+    p(a) over unigram tokens (Church & Hanks 1990, public). ``min_count``
+    drops the low-frequency noise PMI is notorious for.
+
+    Scale shape: ONE corpus scan — unigrams and bigrams are built in the
+    same row-local HOF projection, tagged, and exploded together, so a
+    single map-side-combined hash aggregate produces the (kind, token)
+    count table; that vocab-scale relation is persisted (tracked) and
+    every downstream branch (unigram side, bigram side, both totals) reads
+    the cache. Scoring joins are keyed on the word at vocab scale — never
+    a broadcast of the full vocabulary. Ranking uses the ROUNDED pmi (then
+    bigram asc) so Spark and DuckDB order identically; the top-k cut is
+    distributed TakeOrdered.
+
+    Returns (bigram, n_ab, pmi) — top_k rows."""
+    from ..cache import persist_tracked
+
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, (i + F.lit(1)).cast("int")),
+            F.element_at(words, (i + F.lit(2)).cast("int")),
+        ),
+    )
+    tagged = F.concat(
+        F.transform(words, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("tok"))),
+        F.transform(
+            F.when(F.size(words) >= 2, grams).otherwise(F.array()),
+            lambda g: F.struct(F.lit("b").alias("kind"), g.alias("tok")),
+        ),
+    )
+    counts = persist_tracked(
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(tagged).alias("t"))
+        .groupBy(F.col("t.kind").alias("kind"), F.col("t.tok").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = counts.filter(F.col("kind") == "w").select(
+        F.col("tok").alias("w"), F.col("c").alias("cw")
+    )
+    bi_all = counts.filter(F.col("kind") == "b").select(
+        F.col("tok").alias("bigram"), F.col("c").alias("n_ab")
+    )
+    nw = uni.agg(F.sum("cw").alias("_nw"))
+    # p(ab)'s denominator is the total over ALL bigram tokens — computed
+    # BEFORE the min_count cut (the cut only prunes which pairs are scored)
+    nb = bi_all.agg(F.sum("n_ab").alias("_nb"))
+    bi = bi_all.filter(F.col("n_ab") >= min_count)
+    a = F.split(F.col("bigram"), " ")
+    scored = (
+        bi.select("bigram", "n_ab", a.getItem(0).alias("_a"), a.getItem(1).alias("_b"))
+        .join(uni.select(F.col("w").alias("_a"), F.col("cw").alias("ca")), "_a")
+        .join(uni.select(F.col("w").alias("_b"), F.col("cw").alias("cb")), "_b")
+        .crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "bigram",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("_nb"))
+                    / ((F.col("ca") / F.col("_nw")) * (F.col("cb") / F.col("_nw")))
+                ),
+                round_to,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)

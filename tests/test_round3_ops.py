@@ -469,3 +469,79 @@ def test_top_ngram_fraction_tiebreak_and_short_docs(spark):
     assert abs(got[1]["char_frac"] - 9 / 11) < 1e-3
     assert got[4]["n_occurrences"] == 3
     assert got[2]["top_ngram"] == "x y" and got[2]["char_frac"] == 1.0
+
+
+def test_chi2_by_group_identical_and_skewed(spark):
+    """A group distributed exactly like the baseline scores chi2 = 0
+    (its contingency rows are proportional); a skewed group scores > 0,
+    and a category the group is MISSING still contributes."""
+    from fsharp_data_validation_spark.operators.drift import chi2_by_group
+
+    rows = (
+        [("g1", "a")] * 30 + [("g1", "b")] * 10
+        + [("g2", "a")] * 30 + [("g2", "b")] * 10  # same 3:1 mix -> chi2 0
+    )
+    df = spark.createDataFrame(rows, "grp string, cat string")
+    got = {r["grp"]: r for r in chi2_by_group(df, "grp", "cat").collect()}
+    assert got["g1"]["chi2"] == 0.0 and got["g2"]["chi2"] == 0.0
+    assert got["g1"]["dof"] == 1 and got["g1"]["n_rows"] == 40
+
+    rows2 = [("g1", "a")] * 40 + [("g2", "b")] * 40  # disjoint categories
+    got2 = {
+        r["grp"]: r
+        for r in chi2_by_group(
+            spark.createDataFrame(rows2, "grp string, cat string"), "grp", "cat"
+        ).collect()
+    }
+    assert got2["g1"]["chi2"] > 0 and got2["g1"]["dof"] == 1
+
+
+def test_zipf_fit_exact_power_law(spark):
+    """freq = 48/rank is exactly log-log linear: slope -1, r^2 = 1."""
+    from fsharp_data_validation_spark.operators.text import zipf_fit
+
+    text = " ".join(["a"] * 48 + ["b"] * 24 + ["c"] * 16 + ["d"] * 12)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = zipf_fit(df, "text", top_k=10, min_count=2).collect()[0]
+    assert got["n_types"] == 4
+    assert abs(got["slope"] + 1.0) < 1e-6
+    assert abs(got["r_squared"] - 1.0) < 1e-6
+
+
+def test_dup_ngram_fraction_counts_and_cap(spark):
+    from fsharp_data_validation_spark.operators.text import dup_ngram_fraction
+
+    docs = [
+        (1, "x y z x y z x y z"),  # all three 3-grams duplicated; cap at 1
+        (2, "a b c d e"),  # no duplicated 3-gram: no row
+        (3, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r["id"]: r for r in dup_ngram_fraction(df, "doc_id", "text", 3).collect()}
+    assert set(got) == {1}
+    assert got[1]["n_dup_ngrams"] == 3
+    assert got[1]["dup_char_frac"] == 1.0  # 35 covered chars / 17 -> capped
+
+
+def test_pmi_bigrams_hand_value(spark):
+    """Six 'a b' docs: p(ab)=1, p(a)=p(b)=1/2 -> PMI = ln 4."""
+    from fsharp_data_validation_spark.operators.text import pmi_bigrams
+
+    df = spark.createDataFrame([("a b",)] * 6, "text string")
+    got = pmi_bigrams(df, "text", min_count=5, top_k=5).collect()
+    assert len(got) == 1
+    assert got[0]["bigram"] == "a b" and got[0]["n_ab"] == 6
+    assert abs(got[0]["pmi"] - math.log(4.0)) < 1e-3
+
+
+def test_pmi_total_uses_unfiltered_bigrams(spark):
+    """min_count prunes which pairs are SCORED, not p(ab)'s denominator."""
+    from fsharp_data_validation_spark.operators.text import pmi_bigrams
+
+    # 5x "a b" + 2x "c d": nb must be 7, so pmi(a b) = ln((5/7)/(0.5^2 ... ))
+    df = spark.createDataFrame([("a b",)] * 5 + [("c d",)] * 2, "text string")
+    got = pmi_bigrams(df, "text", min_count=5, top_k=5).collect()
+    assert len(got) == 1 and got[0]["bigram"] == "a b"
+    # p(ab) = 5/7 over ALL bigram tokens; p(a) = p(b) = 5/14 unigram tokens
+    expect = math.log((5 / 7) / ((5 / 14) * (5 / 14)))
+    assert abs(got[0]["pmi"] - expect) < 1e-3
