@@ -820,6 +820,16 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(load_docs(spark, sf_dir), "text", min_count=5, top_k=20)
 
 
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day first-appearance vocabulary growth + running vocab size
+    (operators/text.py:vocab_growth) — the vocab-drift monitor; one
+    token-keyed aggregate is the only corpus-scale shuffle, then windows
+    over the |days|-row relation."""
+    from fsharp_data_validation_spark.operators.text import vocab_growth
+
+    return vocab_growth(_transcripts(spark, sf_dir), "ts", "text")
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1445,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf": q_zipf,
         "dup_ngrams": q_dup_ngrams,
         "pmi": q_pmi,
+        "vocab_growth": q_vocab_growth,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -2246,6 +2257,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(n_ab AS BIGINT) AS n_ab,
                    ROUND(pmi_raw, 4) AS pmi
             FROM scored ORDER BY pmi DESC, bigram ASC LIMIT 20
+            """
+        ),
+        "vocab_growth": with_transcripts(
+            """
+            , toks AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     unnest(string_split(text, ' ')) AS token
+              FROM transcripts WHERE text IS NOT NULL
+            )
+            , fst AS (SELECT token, MIN(day) AS day FROM toks GROUP BY 1)
+            , pd AS (SELECT day, COUNT(*) AS new_tokens FROM fst GROUP BY 1)
+            SELECT day, CAST(new_tokens AS BIGINT) AS new_tokens,
+                   CAST(SUM(new_tokens) OVER (
+                     ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS vocab_size
+            FROM pd
             """
         ),
         "cvm_drift": with_transcripts(

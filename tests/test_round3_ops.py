@@ -545,3 +545,66 @@ def test_pmi_total_uses_unfiltered_bigrams(spark):
     # p(ab) = 5/7 over ALL bigram tokens; p(a) = p(b) = 5/14 unigram tokens
     expect = math.log((5 / 7) / ((5 / 14) * (5 / 14)))
     assert abs(got[0]["pmi"] - expect) < 1e-3
+
+
+def test_vocab_growth_first_appearance(spark):
+    from fsharp_data_validation_spark.operators.text import vocab_growth
+
+    rows = [
+        ("2024-01-01 00:00:00", "a b c"),
+        ("2024-01-01 05:00:00", "a b"),  # no new tokens
+        ("2024-01-02 00:00:00", "a d"),  # d is new
+        ("2024-01-03 00:00:00", None),  # ignored
+        ("2024-01-04 00:00:00", "e e e"),  # e counted once
+    ]
+    df = spark.createDataFrame(rows, "ts string, text string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {str(r["day"]): r for r in vocab_growth(df, "ts", "text").collect()}
+    assert got["2024-01-01"]["new_tokens"] == 3
+    assert got["2024-01-02"]["new_tokens"] == 1
+    assert "2024-01-03" not in got
+    assert got["2024-01-04"]["new_tokens"] == 1
+    assert got["2024-01-04"]["vocab_size"] == 5
+
+
+def test_gopher_kernels_equivalent(spark):
+    """The zero-shuffle sorted-runs fold kernels must produce EXACTLY the
+    explode + hash-agg spec's output — fuzzed over random short docs plus
+    the adversarial edges (empty text, single word, all-same words,
+    empty-string words from double spaces)."""
+    import random
+
+    from fsharp_data_validation_spark.operators.text import (
+        dup_ngram_fraction,
+        top_ngram_fraction,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(300):
+        m = rng.randint(0, 15)
+        rows.append((i, " ".join(rng.choice("abcx") for _ in range(m))))
+    rows += [
+        (900, None),
+        (901, ""),
+        (902, "solo"),
+        (903, "t t t t t t"),
+        (904, "a  b  a  b"),  # double spaces -> empty-string words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3):
+        a = sorted(
+            map(tuple, top_ngram_fraction(df, "doc_id", "text", n, kernel="local").collect())
+        )
+        b = sorted(
+            map(tuple, top_ngram_fraction(df, "doc_id", "text", n, kernel="explode").collect())
+        )
+        assert a == b, f"top_ngram kernels diverge at n={n}"
+        c = sorted(
+            map(tuple, dup_ngram_fraction(df, "doc_id", "text", n, kernel="local").collect())
+        )
+        d = sorted(
+            map(tuple, dup_ngram_fraction(df, "doc_id", "text", n, kernel="explode").collect())
+        )
+        assert c == d, f"dup_ngram kernels diverge at n={n}"

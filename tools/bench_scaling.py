@@ -117,6 +117,57 @@ def run_dedup(cores: int, iters: int = 3) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def run_textstats(cores: int, iters: int = 3) -> dict:
+    """Explode-heavy text-analytics family at local[cores] on the synthetic
+    corpus: Gopher top-bigram repetition (per-doc window), Zipf fit
+    (TakeOrdered top-k + regression aggregates) and PMI collocations
+    (one tagged scan -> persisted (kind, token) counts -> vocab-keyed
+    joins), forced concurrently like a multi-tenant analytics batch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fsharp_data_validation_spark.operators.text import (
+        pmi_bigrams,
+        top_ngram_fraction,
+        zipf_fit,
+    )
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_textstats_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS_DIR)
+    n = docs.count()
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        outs = [
+            top_ngram_fraction(docs, "doc_id", "text", 2),
+            zipf_fit(docs, "text", top_k=1000, min_count=2),
+            pmi_bigrams(docs, "text", min_count=25, top_k=50),
+        ]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(force, outs))
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()  # fresh persist() materialization per pass
+        return dt
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
+
+
 def run_curate(cores: int, iters: int = 3) -> dict:
     """Composed curation pipeline (lang + length gates -> exact-dedup
     keep-first -> hash split) at local[cores] on the synthetic corpus.
@@ -319,17 +370,17 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack"], default="suite")
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     args = ap.parse_args()
 
     if args.run:
         fn = {"dedup": run_dedup, "curate": run_curate, "pack": run_pack,
-              "suite": run_suite}[args.mode]
+              "suite": run_suite, "textstats": run_textstats}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
-    if args.mode in ("dedup", "curate"):
+    if args.mode in ("dedup", "curate", "textstats"):
         if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
             print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
             gen_docs(args.docs)
@@ -361,6 +412,7 @@ def main() -> None:
         "curate": "curated docs/sec, composed curation pipeline",
         "pack": "packed turns/sec, stateful context-window packing (mapInPandas)",
         "suite": "validated turns/sec, full constraint suite",
+        "textstats": "analyzed docs/sec, text-analytics family (top-ngram + Zipf + PMI)",
     }[args.mode]
     summary = {
         "metric": metric,
@@ -395,6 +447,12 @@ def main() -> None:
         f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
         f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
         "violations, 128 files)",
+        "textstats": "text-analytics family forced concurrently (Gopher top-bigram "
+        "repetition: HOF n-gram build -> explode -> hash agg -> per-doc window; Zipf "
+        "fit: token counts -> distributed TakeOrdered top-1000 -> regression "
+        "aggregates; PMI collocations: ONE tagged scan -> persisted (kind, token) "
+        f"counts -> vocab-keyed scoring joins) on the same synthetic corpus "
+        f"({summary['turns']:,} docs, `tools/bench_scaling.py gen_docs`)",
     }[args.mode]
     unit = ("validated turns/sec" if args.mode == "suite"
             else "turns/sec" if args.mode == "pack" else "docs/sec")
