@@ -358,3 +358,24 @@ def test_moments_rollup_scans_once(spark, sf):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert len(re.findall(r"Relation.*parquet", optimized)) <= 1
     spark.catalog.clearCache()
+
+
+def test_gopher_local_kernels_no_exchange(spark, sf):
+    """The default sorted-runs kernels for top_ngram_fraction and
+    dup_ngram_fraction are row-local: their physical plans must contain NO
+    shuffle Exchange at all (the whole point of the kernel — the explode
+    spec's two corpus-scale shuffles were measured bandwidth-bound,
+    BENCH.md)."""
+    from fsharp_data_validation_spark.operators.text import (
+        dup_ngram_fraction,
+        top_ngram_fraction,
+    )
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    docs = load_docs(spark, sf)
+    for op in (
+        top_ngram_fraction(docs, "doc_id", "text", 2),
+        dup_ngram_fraction(docs, "doc_id", "text", 3),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
