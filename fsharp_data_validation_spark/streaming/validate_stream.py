@@ -254,3 +254,74 @@ def windowed_drift_stream(
         term = (p - F.lit(q)) * F.log(p / F.lit(q))
         psi_col = term if psi_col is None else psi_col + term
     return agg.select("win", "rows", F.round(psi_col, round_to).alias("psi"))
+
+
+def windowed_chi2_stream(
+    stream_df: DataFrame,
+    baseline_counts: DataFrame,
+    cat_col: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    round_to: int = 4,
+) -> DataFrame:
+    """Streaming CATEGORICAL drift monitor against a static baseline: per
+    event-time window, emit (win, rows, chi2, dof) where chi2 is the
+    Pearson statistic of the window's category counts vs
+    ``baseline_counts`` (a batch (cat, n) aggregate, e.g. last month's
+    validated role distribution) — the streaming lift of
+    ``operators/drift.py:chi2_joined``, completing the windowed family
+    (PSI covers binned numerics; this covers unordered categories).
+
+    Shape notes (same discipline as ``windowed_drift_stream``):
+    - one watermarked window aggregation with one conditional sum per
+      baseline category plus an OTHER cell for categories the baseline has
+      never seen (their appearance IS drift — they inflate chi2 through a
+      zero-expectation-free margin cell rather than being dropped);
+    - chi2/dof are row-local expressions over those count columns —
+      append-mode compatible, state bounded by the watermark;
+    - the baseline is |categories| rows collected once as plan literals,
+      not a data collect. Cells empty in BOTH margins contribute 0 and
+      drop out of dof.
+    """
+    base = {r["cat"]: float(r["n"]) for r in baseline_counts.collect()}
+    cats = sorted(base)
+    g_tot = float(sum(base.values()))
+
+    c = F.col(cat_col)
+    sums = [
+        F.sum((c == F.lit(cat)).cast("long")).alias(f"_c{i}")
+        for i, cat in enumerate(cats)
+    ] + [
+        F.sum((~c.isin(list(cats))).cast("long")).alias("_other"),
+    ]
+    agg = (
+        stream_df.filter(c.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("rows"), *sums)
+    )
+    tg = F.col("rows").cast("double")
+    t = F.lit(g_tot)
+    colsum = tg + t
+    chi2 = None
+    dof_cells = None
+    cells = [(F.col(f"_c{i}"), base[cat]) for i, cat in enumerate(cats)]
+    cells.append((F.col("_other"), 0.0))
+    for n, g in cells:
+        row = n + F.lit(g)
+        e1 = row * tg / colsum
+        e2 = row * t / colsum
+        term = F.when(
+            row > 0,
+            (n - e1) ** 2 / e1 + (F.lit(g) - e2) ** 2 / e2,
+        ).otherwise(F.lit(0.0))
+        present = F.when(row > 0, 1).otherwise(0)
+        chi2 = term if chi2 is None else chi2 + term
+        dof_cells = present if dof_cells is None else dof_cells + present
+    return agg.select(
+        "win",
+        "rows",
+        F.round(chi2, round_to).alias("chi2"),
+        (dof_cells - 1).cast("bigint").alias("dof"),
+    )

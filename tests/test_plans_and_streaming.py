@@ -648,3 +648,74 @@ def test_write_bucketed_records_snapshot(spark, tmp_path):
     _, snap2 = write_bucketed(df, "t_snap", "conv_id", 4, path=loc)
     assert snap2 != snap
     spark.sql("DROP TABLE t_snap")
+
+
+def test_windowed_chi2_stream_matches_batch(spark, tmp_path):
+    """Streaming categorical chi2 per event-time window: a window with the
+    baseline's category mix scores ~0; a skewed window (plus a category
+    the baseline never saw) scores high; each window's streamed statistic
+    equals the batch chi2_joined over the same cells."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    from fsharp_data_validation_spark.operators.drift import chi2_joined
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        windowed_chi2_stream,
+    )
+
+    schema = StructType(
+        [StructField("role", StringType()), StructField("ts", TimestampType())]
+    )
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    mix = ["user"] * 3 + ["assistant"] * 2 + ["tool"]
+    w1 = [(mix[i % 6], t0) for i in range(120)]  # baseline-like
+    w2 = [("assistant", t0 + timedelta(minutes=5)) for _ in range(100)] + [
+        ("robot", t0 + timedelta(minutes=5)) for _ in range(20)  # unseen cat
+    ]
+    sentinel = [("user", t0 + timedelta(minutes=30))]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(w1 + w2 + sentinel, schema).write.parquet(src)
+
+    baseline = (
+        spark.createDataFrame(w1, schema)
+        .groupBy(F.col("role").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_stream = windowed_chi2_stream(
+        stream, baseline, "role", "ts", "1 minute", "2 minutes", round_to=6
+    )
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName("chi2_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = sorted(
+        spark.sql("select * from chi2_out").collect(), key=lambda r: r["win"]["start"]
+    )
+    assert [r["rows"] for r in out] == [120, 120]
+    assert out[0]["chi2"] < 1e-6 and out[0]["dof"] == 2  # identical mix
+    assert out[1]["chi2"] > 50 and out[1]["dof"] == 3  # skew + unseen cat
+
+    # cross-check each window against the batch closed form over the same
+    # cells (baseline categories + the OTHER cell when present)
+    base_n = {r["cat"]: r["n"] for r in baseline.collect()}
+    for rows, got in ((w1, out[0]), (w2, out[1])):
+        win_n = {}
+        for cat, _ in rows:
+            key = cat if cat in base_n else "__other__"
+            win_n[key] = win_n.get(key, 0) + 1
+        cells = [
+            (c, win_n.get(c, 0), base_n.get(c, 0))
+            for c in sorted(set(base_n) | set(win_n))
+        ]
+        counts = spark.createDataFrame(cells, "cat string, na long, nb long")
+        want = chi2_joined(counts, round_to=6).collect()[0]
+        assert abs(got["chi2"] - want["chi2"]) <= 1e-3, (got["chi2"], want["chi2"])
+        assert got["dof"] == want["dof"]
