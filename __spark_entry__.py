@@ -830,6 +830,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_transcripts(spark, sf_dir), "ts", "text")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample — Efraimidis-Spirakis A-ES over
+    a salted-md5 uniform): 100 docs drawn proportional to n_chars,
+    reproducible and engine-portable; top-k via distributed TakeOrdered."""
+    from fsharp_data_validation_spark.operators.sampling import weighted_sample
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return weighted_sample(load_docs(spark, sf_dir), "doc_id", "n_chars", 100)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1456,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "pmi": q_pmi,
         "vocab_growth": q_vocab_growth,
+        "weighted_sample": q_weighted_sample,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -2274,6 +2286,24 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS vocab_size
             FROM pd
+            """
+        ),
+        "weighted_sample": with_docs(
+            """
+            , keyed AS (
+              SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+                     POW(
+                       (CAST(('0x' || substr(md5('ws' || '|' ||
+                          CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+                         / 1152921504606846977.0,
+                       1.0 / CAST(n_chars AS DOUBLE)
+                     ) AS key
+              FROM docs WHERE n_chars > 0
+            )
+            SELECT id, weight,
+                   CAST(ROW_NUMBER() OVER (ORDER BY key DESC, id ASC) AS INT)
+                     AS rnk
+            FROM keyed ORDER BY key DESC, id ASC LIMIT 100
             """
         ),
         "cvm_drift": with_transcripts(

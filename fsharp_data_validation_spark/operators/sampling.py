@@ -242,3 +242,47 @@ def replicate_sample(
         )
         .drop("_k", "_i")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme (public, IPL 2006): each row gets
+    key = u^(1/w) with u a (0,1] uniform derived from the salted md5 of
+    its id, and the k largest keys are the sample (inclusion probability
+    proportional to weight, exactly as the sequential weighted draw).
+    The pipeline use: quality-weighted corpus selection ("sample 1M docs
+    proportional to quality score") that is reproducible run-to-run and
+    engine-portable, unlike rand()-based sampling.
+
+    Scale shape: the key is one row-local expression; the top-k cut is
+    ``ORDER BY key DESC LIMIT k`` — distributed TakeOrdered (per-partition
+    top-k, then a k-row merge), never a global sort; the rank window runs
+    on the k surviving rows. Rows with non-positive weights are excluded
+    (they'd have inclusion probability 0).
+
+    Returns (id, weight, rnk) — k rows, rnk 1..k in draw order."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    u = (md5_int(F.col(id_col).cast("string"), salt=salt) + F.lit(1)) / F.lit(
+        float(16**15 + 1)
+    )
+    key = F.pow(u, F.lit(1.0) / w)
+    top = (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc("id"))
+        .limit(k)
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("_key"), F.asc("id")))
+    return top.select("id", "weight", rnk.alias("rnk"))
