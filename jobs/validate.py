@@ -72,6 +72,14 @@ def main(argv=None) -> int:
         help="also write the validated (clean) rows, partitioned like the input",
     )
     ap.add_argument(
+        "--profile",
+        action="store_true",
+        help="also write <output>/profile.json: Deequ-style check suite, "
+        "functional-dependency violation profile, and the moments rollup "
+        "over text length (all KB-scale aggregates; report-only, does not "
+        "affect exit status)",
+    )
+    ap.add_argument(
         "--schema",
         choices=["conform", "enforce", "off"],
         default="conform",
@@ -135,6 +143,57 @@ def main(argv=None) -> int:
     outcomes = run.run(
         df, max_partitions=args.max_partitions, batch_size=args.batch_size
     )
+    if args.profile:
+        from fsharp_data_validation_spark.operators.checks import (
+            Check,
+            completeness,
+            compliance,
+            dataset_checks,
+            fd_violations,
+            uniqueness,
+        )
+        from fsharp_data_validation_spark.operators.stats import (
+            moments_partition_sketches,
+            moments_rollup,
+        )
+        from fsharp_data_validation_spark.sources.transcripts import ROLES
+
+        checks = dataset_checks(
+            df,
+            [
+                Check("text_completeness", completeness("text"), ">=", 0.95),
+                Check(
+                    "role_compliance",
+                    compliance(F.col("role").isin(list(ROLES))),
+                    ">=",
+                    0.99,
+                ),
+                Check("key_uniqueness", uniqueness(["conv_id", "turn_idx"]), ">=", 1.0),
+            ],
+        )
+        fd = fd_violations(
+            df,
+            [(["conv_id", "turn_idx"], "role"), (["tool"], "role")],
+        )
+        mom = moments_rollup(
+            moments_partition_sketches(
+                df.filter(F.col("text").isNotNull()).select(
+                    F.col(args.partition_col).alias("part"),
+                    F.length("text").alias("text_len"),
+                ),
+                "part",
+                "text_len",
+            )
+        )
+        profile = {
+            "checks": [r.asDict() for r in checks.collect()],
+            "fd_violations": [r.asDict() for r in fd.collect()],
+            "text_len_moments": [r.asDict() for r in mom.collect()],
+        }
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "profile.json"), "w") as f:
+            json.dump(profile, f, default=str, indent=1)
+
     # release any operator-persisted intermediates before summarizing —
     # a resumed/looped driver must not accumulate storage across runs
     from fsharp_data_validation_spark.cache import release_caches

@@ -719,3 +719,34 @@ def test_windowed_chi2_stream_matches_batch(spark, tmp_path):
         want = chi2_joined(counts, round_to=6).collect()[0]
         assert abs(got["chi2"] - want["chi2"]) <= 1e-3, (got["chi2"], want["chi2"])
         assert got["dof"] == want["dof"]
+
+
+def test_job_profile_flag(spark, tmp_path):
+    """--profile writes profile.json with the check suite, FD profile, and
+    moments rollup alongside the validation outputs; report-only (exit 0)."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import validate as job
+
+    out = str(tmp_path / "run")
+    rc = job.main(
+        [
+            "--events-dir",
+            "/root/testdata/sf0.001",
+            "--output",
+            out,
+            "--profile",
+        ]
+    )
+    assert rc == 0
+    prof = _json.load(open(out + "/profile.json"))
+    names = {c["check_name"]: c["status"] for c in prof["checks"]}
+    assert set(names) == {"text_completeness", "role_compliance", "key_uniqueness"}
+    # the derived test table has injected duplicate keys -> uniqueness fails
+    assert names["key_uniqueness"] == "fail"
+    fds = {r["fd"]: r for r in prof["fd_violations"]}
+    assert fds["conv_id,turn_idx->role"]["violating_keys"] > 0
+    m = prof["text_len_moments"][0]
+    assert m["n_values"] > 0 and m["var_pop"] > 0
