@@ -841,6 +841,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(load_docs(spark, sf_dir), "doc_id", "n_chars", 100)
 
 
+def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table hygiene gate (operators/similarity.py:
+    embedding_health): NULL / wrong-dim / NaN / zero vectors + the L2-norm
+    profile, one aggregate; the fold-ordered norm is bit-identical across
+    engines before the rounded means."""
+    from fsharp_data_validation_spark.operators.similarity import embedding_health
+    from fsharp_data_validation_spark.sources.documents import load_embeddings
+
+    return embedding_health(load_embeddings(spark, sf_dir), "embedding", 64)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1468,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi": q_pmi,
         "vocab_growth": q_vocab_growth,
         "weighted_sample": q_weighted_sample,
+        "embedding_health": q_embedding_health,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -2306,6 +2318,37 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed ORDER BY key DESC, id ASC LIMIT 100
             """
         ),
+        "embedding_health": """
+            WITH h AS (
+              SELECT embedding AS v,
+                     CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS _null,
+                     CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+                          THEN 1 ELSE 0 END AS _wd,
+                     CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                            embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+                          THEN 1 ELSE 0 END AS _nan,
+                     SQRT(list_sum(list_transform(embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS _n
+              FROM embeddings
+            ),
+            f AS (
+              SELECT _null, _wd, _nan,
+                     CASE WHEN _null = 0 AND _wd = 0 AND _nan = 0 AND _n = 0
+                          THEN 1 ELSE 0 END AS _zero,
+                     CASE WHEN _null = 0 AND _wd = 0 AND _nan = 0 AND _n > 0
+                          THEN _n END AS _norm
+              FROM h
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(_null) AS BIGINT) AS n_null,
+                   CAST(SUM(_wd) AS BIGINT) AS n_wrong_dim,
+                   CAST(SUM(_nan) AS BIGINT) AS n_nan,
+                   CAST(SUM(_zero) AS BIGINT) AS n_zero,
+                   ROUND(AVG(_norm), 4) AS mean_norm,
+                   ROUND(MIN(_norm), 4) AS min_norm,
+                   ROUND(MAX(_norm), 4) AS max_norm
+            FROM f
+            """,
         "cvm_drift": with_transcripts(
             f"""
             , m AS ({_MID_SQL})

@@ -428,3 +428,45 @@ def cross_corpus_cosine_pairs(
         )
 
     return t.unionByName(e).groupBy("blk").applyInPandas(tile_kernel, out_schema)
+
+
+def embedding_health(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-table hygiene report — the vector-quality gate a training
+    pipeline runs before any similarity/dedup stage: NULL vectors, wrong
+    dimensionality, NaN components, all-zero vectors (cosine-undefined),
+    and the L2-norm profile. One map-side-combined aggregate; all per-row
+    math is row-local column expressions (the norm is a sequential fold in
+    array order, so Spark and DuckDB produce bit-identical doubles before
+    the rounded cross-row means).
+
+    Returns one row: (n_vecs, n_null, n_wrong_dim, n_nan, n_zero,
+    mean_norm, min_norm, max_norm)."""
+    v = F.col(vec_col)
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    norm = F.sqrt(sq)
+    has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
+    ok = v.isNotNull() & (F.size(v) == dim) & ~has_nan
+    return df.select(
+        v.alias("_v"),
+        F.when(v.isNull(), 1).otherwise(0).alias("_null"),
+        F.when(v.isNotNull() & (F.size(v) != dim), 1).otherwise(0).alias("_wd"),
+        F.when(v.isNotNull() & has_nan, 1).otherwise(0).alias("_nan"),
+        F.when(ok & (norm == 0), 1).otherwise(0).alias("_zero"),
+        F.when(ok & (norm > 0), norm).alias("_norm"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("_null").cast("bigint").alias("n_null"),
+        F.sum("_wd").cast("bigint").alias("n_wrong_dim"),
+        F.sum("_nan").cast("bigint").alias("n_nan"),
+        F.sum("_zero").cast("bigint").alias("n_zero"),
+        F.round(F.avg("_norm"), round_to).alias("mean_norm"),
+        F.round(F.min("_norm"), round_to).alias("min_norm"),
+        F.round(F.max("_norm"), round_to).alias("max_norm"),
+    )

@@ -652,3 +652,22 @@ def test_weighted_sample_determinism_and_bias(spark):
         got = weighted_sample(df, "doc_id", "w", 10, salt=s).collect()
         hits += any(r["id"] == 0 for r in got)
     assert hits == 5
+
+
+def test_embedding_health_flags(spark):
+    from fsharp_data_validation_spark.operators.similarity import embedding_health
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [0.0, 0.0]),          # zero vector
+        (3, None),                # null
+        (4, [1.0]),               # wrong dim
+        (5, [float("nan"), 1.0]), # NaN component
+        (6, [0.0, 2.0]),          # norm 2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = embedding_health(df, "embedding", 2, round_to=6).collect()[0]
+    assert (r["n_vecs"], r["n_null"], r["n_wrong_dim"], r["n_nan"], r["n_zero"]) == (
+        6, 1, 1, 1, 1,
+    )
+    assert r["mean_norm"] == 3.5 and r["min_norm"] == 2.0 and r["max_norm"] == 5.0
