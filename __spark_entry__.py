@@ -852,6 +852,42 @@ def q_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_health(load_embeddings(spark, sf_dir), "embedding", 64)
 
 
+def q_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exemplars per violation code — the triage view ("show
+    me 3 concrete rows for each failure"): the suite's violations ranked
+    within (path, code) by a salted md5 of the row key, keep rank <= 3.
+    Reproducible run-to-run and engine-portable (same md5-derived order in
+    the DuckDB oracle). One window shuffle keyed on (path, code); at
+    10^12-violation scale add the Chernoff hash-threshold prefilter
+    (operators/sampling.py:stratified_sample's shape) so the window only
+    sees a few hundred candidate rows per code."""
+    from pyspark.sql import Window
+
+    from fsharp_data_validation_spark.operators.dedup import md5_int
+
+    t = _transcripts(spark, sf_dir)
+    res = transcript_row_suite().run(t, KEY)
+    key = F.concat_ws(
+        "|",
+        F.col("conv_id"),
+        F.col("turn_idx").cast("string"),
+        F.unix_seconds(F.col("ts").cast("timestamp")).cast("string"),
+    )
+    h = md5_int(key, salt="ex")
+    w = Window.partitionBy("path_str", "code").orderBy(h.asc())
+    return (
+        res.violations.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= 3)
+        .select(
+            F.col("path_str").alias("path"),
+            "code",
+            F.col("_rnk").cast("int").alias("rnk"),
+            "conv_id",
+            "turn_idx",
+        )
+    )
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1480,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "weighted_sample": q_weighted_sample,
         "embedding_health": q_embedding_health,
+        "violation_examples": q_violation_examples,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -1574,6 +1611,24 @@ _ROW_SUITE_ORACLE = with_transcripts(
 )
 
 _NF_EXPR = " + ".join(f"(CASE WHEN {w} THEN 1 ELSE 0 END)" for _, _, w in _FAIL_CONDS)
+
+# per-(path, code) exemplar pick: salted-md5 rank of the row key (matches
+# q_violation_examples' md5_int(key, salt="ex") exactly)
+_EXAMPLES_ORACLE = with_transcripts(
+    "SELECT path, code, CAST(rn AS INT) AS rnk, conv_id, turn_idx FROM (\n"
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY path, code ORDER BY\n"
+    "    CAST(('0x' || substr(md5('ex' || '|' || conv_id || '|'\n"
+    "      || CAST(turn_idx AS VARCHAR) || '|'\n"
+    "      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR)), 1, 15))\n"
+    "      AS BIGINT) ASC) AS rn\n"
+    "  FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT conv_id, turn_idx, ts, '{p}' AS path, '{c}' AS code FROM transcripts WHERE {w}"
+        for p, c, w in _FAIL_CONDS
+    )
+    + "\n  ) v\n"
+    ") r WHERE rn <= 3"
+)
 
 # total order for conversation-flow lag windows — must match
 # conversation_flow_violations' window spec exactly (ts alone can tie under
@@ -1751,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
     roles = _ROLES_SQL
     return {
         "row_suite": _ROW_SUITE_ORACLE,
+        "violation_examples": _EXAMPLES_ORACLE,
         "violation_trend": with_transcripts(
             "SELECT CAST(ts AS DATE) AS day, path, code, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM (\n"
