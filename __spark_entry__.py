@@ -764,9 +764,11 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition rule: per-document top word-bigram character
-    fraction (operators/text.py:top_ngram_fraction) — row-local HOF n-gram
-    build, one explode + hash aggregate, per-doc window (skew bounded by
-    the longest document). Ties break lexicographically on both engines."""
+    fraction (operators/text.py:top_ngram_fraction) — default "local"
+    kernel: row-local array_sort + run-length fold, ZERO shuffles (plan
+    pinned Exchange-free; the explode + hash-agg spec kernel remains
+    available and fuzz-pinned identical). Ties break lexicographically on
+    both engines."""
     from fsharp_data_validation_spark.operators.text import top_ngram_fraction
     from fsharp_data_validation_spark.sources.documents import load_docs
 
@@ -867,11 +869,17 @@ def q_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = _transcripts(spark, sf_dir)
     res = transcript_row_suite().run(t, KEY)
+    # COALESCE each component explicitly: concat_ws would silently SKIP a
+    # NULL (collapsing 'a||b' and 'a|b'), and DuckDB's || NULL-propagates —
+    # the codes that capture NULL keys (conv_id_required etc.) need both
+    # engines hashing the identical string
     key = F.concat_ws(
         "|",
-        F.col("conv_id"),
-        F.col("turn_idx").cast("string"),
-        F.unix_seconds(F.col("ts").cast("timestamp")).cast("string"),
+        F.coalesce(F.col("conv_id"), F.lit("")),
+        F.coalesce(F.col("turn_idx").cast("string"), F.lit("")),
+        F.coalesce(
+            F.unix_seconds(F.col("ts").cast("timestamp")).cast("string"), F.lit("")
+        ),
     )
     h = md5_int(key, salt="ex")
     w = Window.partitionBy("path_str", "code").orderBy(h.asc())
@@ -1617,10 +1625,10 @@ _NF_EXPR = " + ".join(f"(CASE WHEN {w} THEN 1 ELSE 0 END)" for _, _, w in _FAIL_
 _EXAMPLES_ORACLE = with_transcripts(
     "SELECT path, code, CAST(rn AS INT) AS rnk, conv_id, turn_idx FROM (\n"
     "  SELECT *, ROW_NUMBER() OVER (PARTITION BY path, code ORDER BY\n"
-    "    CAST(('0x' || substr(md5('ex' || '|' || conv_id || '|'\n"
-    "      || CAST(turn_idx AS VARCHAR) || '|'\n"
-    "      || CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR)), 1, 15))\n"
-    "      AS BIGINT) ASC) AS rn\n"
+    "    CAST(('0x' || substr(md5('ex' || '|' || COALESCE(conv_id, '') || '|'\n"
+    "      || COALESCE(CAST(turn_idx AS VARCHAR), '') || '|'\n"
+    "      || COALESCE(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR), '')),\n"
+    "      1, 15)) AS BIGINT) ASC) AS rn\n"
     "  FROM (\n"
     + "\nUNION ALL\n".join(
         f"SELECT conv_id, turn_idx, ts, '{p}' AS path, '{c}' AS code FROM transcripts WHERE {w}"
@@ -2192,11 +2200,16 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) AS n
               FROM pos GROUP BY 1
             )
-            , t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM a)
+            , spine AS (SELECT UNNEST(range(1, 10)) AS digit)
+            , fa AS (
+              SELECT spine.digit, COALESCE(a.n, 0) AS n
+              FROM spine LEFT JOIN a ON a.digit = spine.digit
+            )
+            , t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM fa)
             , e AS (
               SELECT digit, n, n / tot AS obs_p,
                      LOG10(1 + 1.0 / digit) AS exp_p, tot
-              FROM a, t
+              FROM fa, t
             )
             SELECT digit, CAST(n AS BIGINT) AS n,
                    ROUND(obs_p, 4) AS obs_p,
@@ -2221,7 +2234,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, ngram AS top_ngram,
                    CAST(n_occurrences AS BIGINT) AS n_occurrences,
-                   ROUND(n_occurrences * length(ngram) * 1.0 / chars, 4)
+                   ROUND(LEAST(1.0, n_occurrences * length(ngram) * 1.0 / chars), 4)
                      AS char_frac
             FROM (
               SELECT *, ROW_NUMBER() OVER (
@@ -2383,22 +2396,26 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN embedding IS NOT NULL AND len(list_filter(
                             embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
                           THEN 1 ELSE 0 END AS _nan,
+                     CASE WHEN embedding IS NOT NULL AND len(list_filter(
+                            embedding, x -> x IS NULL)) > 0
+                          THEN 1 ELSE 0 END AS _nc,
                      SQRT(list_sum(list_transform(embedding,
                             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS _n
               FROM embeddings
             ),
             f AS (
-              SELECT _null, _wd, _nan,
-                     CASE WHEN _null = 0 AND _wd = 0 AND _nan = 0 AND _n = 0
-                          THEN 1 ELSE 0 END AS _zero,
-                     CASE WHEN _null = 0 AND _wd = 0 AND _nan = 0 AND _n > 0
-                          THEN _n END AS _norm
+              SELECT _null, _wd, _nan, _nc,
+                     CASE WHEN _null = 0 AND _wd = 0 AND _nan = 0 AND _nc = 0
+                          AND _n = 0 THEN 1 ELSE 0 END AS _zero,
+                     CASE WHEN _null = 0 AND _wd = 0 AND _nan = 0 AND _nc = 0
+                          AND _n > 0 THEN _n END AS _norm
               FROM h
             )
             SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
                    CAST(SUM(_null) AS BIGINT) AS n_null,
                    CAST(SUM(_wd) AS BIGINT) AS n_wrong_dim,
                    CAST(SUM(_nan) AS BIGINT) AS n_nan,
+                   CAST(SUM(_nc) AS BIGINT) AS n_null_comp,
                    CAST(SUM(_zero) AS BIGINT) AS n_zero,
                    ROUND(AVG(_norm), 4) AS mean_norm,
                    ROUND(MIN(_norm), 4) AS min_norm,

@@ -171,11 +171,16 @@ def benford_check(
     log form misclassifies exact powers of ten when log10 lands at
     2.9999999999…, and the string form is bit-identical across Spark and
     DuckDB. One hash aggregate over the (at most 9)-row digit space with
-    map-side combine, then a window over those ≤9 rows for the total and
-    the shared chi² statistic — O(1) output at any scale.
+    map-side combine, joined to the full 1..9 digit spine (a digit that
+    NEVER occurs is the strongest non-conformance signal and must still
+    contribute its expected mass N·p_d to chi² — dropping unobserved
+    digits would understate the statistic exactly when it matters most),
+    then a window over those 9 rows for the total and the shared chi².
+    O(1) output at any scale.
 
-    Returns (digit, n, obs_p, exp_p, chi2) — ``chi2`` = Σ(n_d − N·p_d)²/
-    (N·p_d) over observed digits, constant across rows."""
+    Returns (digit, n, obs_p, exp_p, chi2) — 9 rows always; ``chi2`` =
+    Σ(n_d − N·p_d)²/(N·p_d) over ALL digits, constant across rows (0 on
+    empty input)."""
     from pyspark.sql import Window
 
     v = F.col(value_col).cast("bigint")
@@ -185,17 +190,27 @@ def benford_check(
         .groupBy(digit.alias("digit"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    spine = df.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    full = spine.join(agg, "digit", "left").withColumn(
+        "n", F.coalesce("n", F.lit(0))
+    )
     exp_p = F.element_at(F.lit(_BENFORD), F.col("digit") + 1)
     w = Window.partitionBy()
     tot = F.sum("n").over(w)
     expected = tot * exp_p
+    nonempty = tot > 0
     return (
-        agg.select(
+        full.select(
             "digit",
             "n",
-            (F.col("n") / tot).alias("_obs"),
+            F.when(nonempty, F.col("n") / tot).otherwise(F.lit(0.0)).alias("_obs"),
             exp_p.alias("_exp"),
-            F.sum((F.col("n") - expected) * (F.col("n") - expected) / expected)
+            F.sum(
+                F.when(
+                    nonempty,
+                    (F.col("n") - expected) * (F.col("n") - expected) / expected,
+                ).otherwise(F.lit(0.0))
+            )
             .over(w)
             .alias("_chi2"),
         )

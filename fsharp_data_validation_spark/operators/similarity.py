@@ -444,20 +444,26 @@ def embedding_health(
     array order, so Spark and DuckDB produce bit-identical doubles before
     the rounded cross-row means).
 
-    Returns one row: (n_vecs, n_null, n_wrong_dim, n_nan, n_zero,
-    mean_norm, min_norm, max_norm)."""
+    Returns one row: (n_vecs, n_null, n_wrong_dim, n_nan, n_null_comp,
+    n_zero, mean_norm, min_norm, max_norm)."""
     v = F.col(vec_col)
     sq = F.aggregate(
         v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
     )
     norm = F.sqrt(sq)
     has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
-    ok = v.isNotNull() & (F.size(v) == dim) & ~has_nan
+    # NULL components are their own defect class: Spark's fold would yield
+    # a NULL norm (DuckDB's list_sum would SKIP the element) — count them
+    # explicitly and exclude such vectors from the norm profile so the two
+    # engines stay identical and no defective vector escapes every bucket
+    has_null_comp = F.exists(v, lambda x: x.isNull())
+    ok = v.isNotNull() & (F.size(v) == dim) & ~has_nan & ~has_null_comp
     return df.select(
         v.alias("_v"),
         F.when(v.isNull(), 1).otherwise(0).alias("_null"),
         F.when(v.isNotNull() & (F.size(v) != dim), 1).otherwise(0).alias("_wd"),
         F.when(v.isNotNull() & has_nan, 1).otherwise(0).alias("_nan"),
+        F.when(v.isNotNull() & has_null_comp, 1).otherwise(0).alias("_nc"),
         F.when(ok & (norm == 0), 1).otherwise(0).alias("_zero"),
         F.when(ok & (norm > 0), norm).alias("_norm"),
     ).agg(
@@ -465,6 +471,7 @@ def embedding_health(
         F.sum("_null").cast("bigint").alias("n_null"),
         F.sum("_wd").cast("bigint").alias("n_wrong_dim"),
         F.sum("_nan").cast("bigint").alias("n_nan"),
+        F.sum("_nc").cast("bigint").alias("n_null_comp"),
         F.sum("_zero").cast("bigint").alias("n_zero"),
         F.round(F.avg("_norm"), round_to).alias("mean_norm"),
         F.round(F.min("_norm"), round_to).alias("min_norm"),

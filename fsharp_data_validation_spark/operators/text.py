@@ -589,8 +589,10 @@ def top_ngram_fraction(
       independent spec the local kernel is pinned against, and for inputs
       whose per-doc arrays don't fit a row (pathological single-doc GBs).
 
-    char_frac = occurrences · length(ngram) / length(text); documents with
-    fewer than ``n`` words emit no row (no n-gram exists).
+    char_frac = occurrences · length(ngram) / length(text), LEAST-capped at
+    1 (overlapping occurrences are counted per occurrence, the standard
+    approximation — same convention as ``dup_ngram_fraction``); documents
+    with fewer than ``n`` words emit no row (no n-gram exists).
 
     Returns (id, top_ngram, n_occurrences, char_frac)."""
     from pyspark.sql import Window
@@ -641,7 +643,10 @@ def top_ngram_fraction(
             F.col("_b.best").alias("top_ngram"),
             F.col("_b.best_run").cast("bigint").alias("n_occurrences"),
             F.round(
-                F.col("_b.best_run") * F.length("_b.best") / F.col("_chars"),
+                F.least(
+                    F.lit(1.0),
+                    F.col("_b.best_run") * F.length("_b.best") / F.col("_chars"),
+                ),
                 round_to,
             ).alias("char_frac"),
         )
@@ -666,7 +671,10 @@ def top_ngram_fraction(
             F.col("ngram").alias("top_ngram"),
             F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
             F.round(
-                F.col("n_occurrences") * F.length("ngram") / F.col("_chars"),
+                F.least(
+                    F.lit(1.0),
+                    F.col("n_occurrences") * F.length("ngram") / F.col("_chars"),
+                ),
                 round_to,
             ).alias("char_frac"),
         )
@@ -879,14 +887,7 @@ def pmi_bigrams(
         return _pmi_bigrams_pruned(df, text_col, min_count, top_k, round_to)
 
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, (i + F.lit(1)).cast("int")),
-            F.element_at(words, (i + F.lit(2)).cast("int")),
-        ),
-    )
+    grams = _ngrams_expr(words, 2)
     tagged = F.concat(
         F.transform(words, lambda w: F.struct(F.lit("w").alias("kind"), w.alias("tok"))),
         F.transform(

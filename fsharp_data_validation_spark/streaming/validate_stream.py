@@ -284,7 +284,13 @@ def windowed_chi2_stream(
       not a data collect. Cells empty in BOTH margins contribute 0 and
       drop out of dof.
     """
-    base = {r["cat"]: float(r["n"]) for r in baseline_counts.collect()}
+    # drop a NULL baseline category (the stream side filters NULLs too, and
+    # sorted() cannot order None against str)
+    base = {
+        r["cat"]: float(r["n"])
+        for r in baseline_counts.collect()
+        if r["cat"] is not None
+    }
     cats = sorted(base)
     g_tot = float(sum(base.values()))
 

@@ -437,16 +437,17 @@ def test_benford_digits_and_chi2(spark):
     vals = [1, 10, 100, 1000, 2, 25, 300, 9, 95, -5, 0]  # <=0 dropped
     df = spark.createDataFrame([(v,) for v in vals], "v long")
     got = {r["digit"]: r for r in benford_check(df, "v", round_to=6).collect()}
-    assert set(got) == {1, 2, 3, 9}
+    assert set(got) == set(range(1, 10))  # full spine, zeros included
     assert got[1]["n"] == 4  # 1, 10, 100, 1000 all digit 1
     assert got[3]["n"] == 1 and got[9]["n"] == 2
+    assert got[4]["n"] == 0 and got[4]["obs_p"] == 0.0
     n_tot = 9
     chi2 = 0.0
     for d in range(1, 10):
         exp = n_tot * math.log10(1 + 1 / d)
         obs = {1: 4, 2: 2, 3: 1, 9: 2}.get(d, 0)
-        if obs:
-            chi2 += (obs - exp) ** 2 / exp
+        # unobserved digits still contribute their expected mass
+        chi2 += (obs - exp) ** 2 / exp
     assert abs(got[1]["chi2"] - chi2) < 1e-4
     assert abs(got[1]["obs_p"] - 4 / 9) < 1e-5
 
@@ -467,7 +468,8 @@ def test_top_ngram_fraction_tiebreak_and_short_docs(spark):
     assert got[1]["top_ngram"] == "a b" and got[1]["n_occurrences"] == 3
     # 3 occurrences x 3 chars / 11 chars
     assert abs(got[1]["char_frac"] - 9 / 11) < 1e-3
-    assert got[4]["n_occurrences"] == 3
+    # overlapping occurrences can cover > chars: fraction is capped at 1
+    assert got[4]["n_occurrences"] == 3 and got[4]["char_frac"] == 1.0
     assert got[2]["top_ngram"] == "x y" and got[2]["char_frac"] == 1.0
 
 
@@ -665,9 +667,49 @@ def test_embedding_health_flags(spark):
         (5, [float("nan"), 1.0]), # NaN component
         (6, [0.0, 2.0]),          # norm 2
     ]
+    rows.append((7, [None, 1.0]))  # NULL component: its own defect class
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     r = embedding_health(df, "embedding", 2, round_to=6).collect()[0]
-    assert (r["n_vecs"], r["n_null"], r["n_wrong_dim"], r["n_nan"], r["n_zero"]) == (
-        6, 1, 1, 1, 1,
-    )
+    assert (
+        r["n_vecs"], r["n_null"], r["n_wrong_dim"], r["n_nan"],
+        r["n_null_comp"], r["n_zero"],
+    ) == (7, 1, 1, 1, 1, 1)
     assert r["mean_norm"] == 3.5 and r["min_norm"] == 2.0 and r["max_norm"] == 5.0
+
+
+def test_violation_examples_null_key_hashing(spark):
+    """The exemplar-ranking hash must COALESCE each key component: NULL
+    conv_id rows (the conv_id-required violation class) still get a
+    deterministic, engine-portable order. Pinned against the same formula
+    computed with Python hashlib."""
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from fsharp_data_validation_spark.operators.dedup import md5_int
+
+    rows = [
+        (None, 0, 100),
+        (None, 1, 200),
+        ("c1", None, 300),
+        ("c2", 2, None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, epoch long")
+    key = F.concat_ws(
+        "|",
+        F.coalesce(F.col("conv_id"), F.lit("")),
+        F.coalesce(F.col("turn_idx").cast("string"), F.lit("")),
+        F.coalesce(F.col("epoch").cast("string"), F.lit("")),
+    )
+    h = md5_int(key, salt="ex")
+    got = [
+        (r["conv_id"], r["turn_idx"], r["epoch"])
+        for r in df.withColumn("_h", h).orderBy("_h").collect()
+    ]
+
+    def py_h(c, t, e):
+        s = "ex|" + "|".join("" if x is None else str(x) for x in (c, t, e))
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = sorted(rows, key=lambda r: py_h(*r))
+    assert got == [tuple(r) for r in want]
