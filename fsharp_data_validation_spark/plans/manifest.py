@@ -343,3 +343,51 @@ class ValidationRun:
             "rows_scanned": sum(d["rows_scanned"] for d in done.values()),
             "violations": sum(d["violations"] for d in done.values()),
         }
+
+
+def diff_runs(spark, prev_out_dir: str, cur_out_dir: str):
+    """Run-over-run validation regression report — CI for data: compare
+    two ``ValidationRun`` outputs per (path, code) and classify each as
+    new / resolved / increased / decreased / stable. The operational
+    question after every scheduled run is "what changed since yesterday";
+    diffing the violation OUTPUTS answers it without re-reading either
+    input table.
+
+    Scale: two partial+final aggregates over the violation rows (already a
+    small fraction of the input) followed by a full-outer join on the
+    |paths|x|codes|-row summaries — KBs at any input size.
+
+    Returns (path, code, prev_n, cur_n, delta, status) ordered by
+    |delta| descending."""
+    from pyspark.sql import functions as F
+
+    def counts(d, alias):
+        return (
+            spark.read.parquet(os.path.join(d, "violations"))
+            .groupBy("path", "code")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    j = (
+        counts(prev_out_dir, "prev_n")
+        .join(counts(cur_out_dir, "cur_n"), ["path", "code"], "full_outer")
+        .select(
+            "path",
+            "code",
+            F.coalesce("prev_n", F.lit(0)).cast("bigint").alias("prev_n"),
+            F.coalesce("cur_n", F.lit(0)).cast("bigint").alias("cur_n"),
+        )
+    )
+    delta = F.col("cur_n") - F.col("prev_n")
+    status = (
+        F.when(F.col("prev_n") == 0, F.lit("new"))
+        .when(F.col("cur_n") == 0, F.lit("resolved"))
+        .when(delta > 0, F.lit("increased"))
+        .when(delta < 0, F.lit("decreased"))
+        .otherwise(F.lit("stable"))
+    )
+    return j.select(
+        "path", "code", "prev_n", "cur_n",
+        delta.cast("bigint").alias("delta"),
+        status.alias("status"),
+    ).orderBy(F.abs(F.col("delta")).desc(), "path", "code")

@@ -72,6 +72,14 @@ def main(argv=None) -> int:
         help="also write the validated (clean) rows, partitioned like the input",
     )
     ap.add_argument(
+        "--compare-to",
+        default=None,
+        metavar="PREV_OUTPUT",
+        help="previous run's --output dir: print a per-(path, code) "
+        "violation diff (new/resolved/increased/decreased/stable) after "
+        "this run — CI-for-data regression report; report-only",
+    )
+    ap.add_argument(
         "--profile",
         action="store_true",
         help="also write <output>/profile.json: Deequ-style check suite, "
@@ -193,6 +201,15 @@ def main(argv=None) -> int:
         os.makedirs(args.output, exist_ok=True)
         with open(os.path.join(args.output, "profile.json"), "w") as f:
             json.dump(profile, f, default=str, indent=1)
+
+    if args.compare_to:
+        from fsharp_data_validation_spark.plans.manifest import diff_runs
+
+        diff = [
+            r.asDict()
+            for r in diff_runs(spark, args.compare_to, args.output).collect()
+        ]
+        print(json.dumps({"diff_vs_previous": diff}))
 
     # release any operator-persisted intermediates before summarizing —
     # a resumed/looped driver must not accumulate storage across runs

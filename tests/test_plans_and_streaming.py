@@ -750,3 +750,33 @@ def test_job_profile_flag(spark, tmp_path):
     assert fds["conv_id,turn_idx->role"]["violating_keys"] > 0
     m = prof["text_len_moments"][0]
     assert m["n_values"] > 0 and m["var_pop"] > 0
+
+
+def test_diff_runs_statuses(spark, tmp_path):
+    """Run-over-run regression diff classifies every (path, code) cell:
+    new / resolved / increased / decreased / stable."""
+    from fsharp_data_validation_spark.plans.manifest import diff_runs
+
+    prev = [("text", "required", 5), ("role", "enum", 3), ("ts", "gap", 2)]
+    cur = [("text", "required", 5), ("role", "enum", 7), ("tool", "ref", 4)]
+
+    def write(rows, d):
+        recs = [
+            ("c%d" % i, i, p, c)
+            for p, c, n in rows
+            for i in range(n)
+        ]
+        spark.createDataFrame(
+            recs, "conv_id string, turn_idx int, path string, code string"
+        ).write.parquet(str(d) + "/violations")
+
+    write(prev, tmp_path / "prev")
+    write(cur, tmp_path / "cur")
+    got = {
+        (r["path"], r["code"]): (r["prev_n"], r["cur_n"], r["delta"], r["status"])
+        for r in diff_runs(spark, str(tmp_path / "prev"), str(tmp_path / "cur")).collect()
+    }
+    assert got[("text", "required")] == (5, 5, 0, "stable")
+    assert got[("role", "enum")] == (3, 7, 4, "increased")
+    assert got[("ts", "gap")] == (2, 0, -2, "resolved")
+    assert got[("tool", "ref")] == (0, 4, 4, "new")
