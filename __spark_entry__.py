@@ -896,6 +896,16 @@ def q_violation_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/stats.py:skew_report): top-5
+    heaviest values + share + distinct count for conv_id and role — the
+    pre-flight check before key-partitioned work; NULL keys count (they
+    are the classic accidental hot spot)."""
+    from fsharp_data_validation_spark.operators.stats import skew_report
+
+    return skew_report(_transcripts(spark, sf_dir), ["conv_id", "role"], top=5)
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1525,6 +1535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "embedding_health": q_embedding_health,
         "violation_examples": q_violation_examples,
+        "skew_report": q_skew_report,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -1815,6 +1826,40 @@ def oracle_sql() -> dict[str, str]:
     return {
         "row_suite": _ROW_SUITE_ORACLE,
         "violation_examples": _EXAMPLES_ORACLE,
+        "skew_report": with_transcripts(
+            """
+            , tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM transcripts)
+            , c1 AS (
+              SELECT COALESCE(CAST(conv_id AS VARCHAR), '<NULL>') AS value,
+                     COUNT(*) AS n
+              FROM transcripts GROUP BY 1
+            )
+            , c2 AS (
+              SELECT COALESCE(CAST(role AS VARCHAR), '<NULL>') AS value,
+                     COUNT(*) AS n
+              FROM transcripts GROUP BY 1
+            )
+            , k1 AS (
+              SELECT 'conv_id' AS key, value,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, value ASC) AS INT)
+                       AS rnk,
+                     CAST(n AS BIGINT) AS n,
+                     ROUND(n / tot.t, 4) AS share,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n_distinct
+              FROM c1, tot ORDER BY n DESC, value ASC LIMIT 5
+            )
+            , k2 AS (
+              SELECT 'role' AS key, value,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, value ASC) AS INT)
+                       AS rnk,
+                     CAST(n AS BIGINT) AS n,
+                     ROUND(n / tot.t, 4) AS share,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS n_distinct
+              FROM c2, tot ORDER BY n DESC, value ASC LIMIT 5
+            )
+            SELECT * FROM k1 UNION ALL SELECT * FROM k2
+            """
+        ),
         "violation_trend": with_transcripts(
             "SELECT CAST(ts AS DATE) AS day, path, code, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM (\n"

@@ -574,3 +574,56 @@ def moments_rollup(
             round_to,
         ).alias("kurt"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic — the pre-flight check before
+    any key-partitioned operation at scale: for each candidate key column,
+    the top-``top`` heaviest values with their share of all rows, plus the
+    key's distinct count. A share over ~1/shuffle-partitions means one
+    task owns that value's entire partition — the signal to salt, use AQE
+    skew-join, or broadcast the other side.
+
+    One hash aggregate per key column (map-side combined, its own shuffle
+    keyed on that column — independent, like ``fd_violations``), then
+    top-k via distributed TakeOrdered and the per-column totals joined
+    back from the same aggregate. NULL keys count as a value (they skew
+    joins too — NULL-heavy keys are the classic accidental hot spot).
+
+    Returns (key, value, rnk, n, share, n_distinct) — top rows per key."""
+    total = df.count()
+    outs = []
+    for kc in key_cols:
+        counts = persist_tracked(
+            df.groupBy(
+                F.coalesce(F.col(kc).cast("string"), F.lit("<NULL>")).alias("value")
+            ).agg(F.count(F.lit(1)).alias("n"))
+        )
+        nd = counts.agg(F.count(F.lit(1)).alias("_nd"))
+        topk = (
+            counts.orderBy(F.desc("n"), F.asc("value"))
+            .limit(top)
+            .crossJoin(F.broadcast(nd))
+        )
+        from pyspark.sql import Window
+
+        rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("value")))
+        outs.append(
+            topk.select(
+                F.lit(kc).alias("key"),
+                "value",
+                rnk.cast("int").alias("rnk"),
+                F.col("n").cast("bigint").alias("n"),
+                F.round(F.col("n") / F.lit(float(total)), round_to).alias("share"),
+                F.col("_nd").cast("bigint").alias("n_distinct"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

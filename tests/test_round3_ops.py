@@ -713,3 +713,16 @@ def test_violation_examples_null_key_hashing(spark):
 
     want = sorted(rows, key=lambda r: py_h(*r))
     assert got == [tuple(r) for r in want]
+
+
+def test_skew_report_null_and_shares(spark):
+    from fsharp_data_validation_spark.operators.stats import skew_report
+
+    rows = [("hot", "x")] * 6 + [(None, "x")] * 3 + [("a", "y")]
+    df = spark.createDataFrame(rows, "k string, other string")
+    got = {
+        (r["key"], r["rnk"]): (r["value"], r["n"], r["share"], r["n_distinct"])
+        for r in skew_report(df, ["k"], top=2).collect()
+    }
+    assert got[("k", 1)] == ("hot", 6, 0.6, 3)
+    assert got[("k", 2)] == ("<NULL>", 3, 0.3, 3)  # NULL keys count
