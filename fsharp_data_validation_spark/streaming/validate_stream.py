@@ -331,3 +331,63 @@ def windowed_chi2_stream(
         F.round(chi2, round_to).alias("chi2"),
         (dof_cells - 1).cast("bigint").alias("dof"),
     )
+
+
+def windowed_w1_stream(
+    stream_df: DataFrame,
+    baseline_hist: DataFrame,
+    value_col: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    bucket_width: float = 25.0,
+    n_buckets: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Streaming Wasserstein-1 drift monitor against a static baseline —
+    the spread-sensitive numeric member of the windowed family (PSI reacts
+    to per-bucket ratio changes, W1 to how far mass MOVED; chi2 covers
+    unordered categories). Same discipline as ``windowed_drift_stream``:
+    one watermarked window aggregation with a conditional sum per bucket,
+    then W1 as a ROW-LOCAL expression — the bucket CDFs are running sums
+    over the n_buckets literal columns, unrolled at plan-build time, so no
+    chained aggregation and append mode stays legal. The baseline is
+    n_buckets plan-literal proportions (collected once, KBs).
+
+    W1 = Σ_b |F_win(b) − F_base(b)| · bucket_width over the full 0..n-1
+    spine — gap buckets count, matching ``operators/drift.py:w1_joined``.
+    Returns (win, rows, w1)."""
+    base = {r["bucket"]: r["n"] for r in baseline_hist.collect()}
+    tot = float(sum(base.values())) or 1.0
+
+    b = F.least(
+        F.greatest(F.floor(F.col(value_col) / F.lit(bucket_width)), F.lit(0)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    bucketed = (
+        stream_df.filter(F.col(value_col).isNotNull())
+        .withColumn("_bkt", b)
+        .withWatermark(ts_col, watermark)
+    )
+    counts = [
+        F.sum((F.col("_bkt") == i).cast("long")).alias(f"_c{i}")
+        for i in range(n_buckets)
+    ]
+    agg = bucketed.groupBy(F.window(ts_col, window).alias("win")).agg(
+        F.count(F.lit(1)).alias("rows"), *counts
+    )
+    w1 = None
+    cum_win = None
+    cum_base = 0.0
+    # the last bucket's CDF difference is always 0 (both CDFs reach 1)
+    for i in range(n_buckets - 1):
+        p = F.col(f"_c{i}") / F.col("rows")
+        cum_win = p if cum_win is None else cum_win + p
+        cum_base += base.get(i, 0) / tot
+        term = F.abs(cum_win - F.lit(cum_base))
+        w1 = term if w1 is None else w1 + term
+    return agg.select(
+        "win",
+        "rows",
+        F.round(w1 * F.lit(float(bucket_width)), round_to).alias("w1"),
+    )

@@ -780,3 +780,65 @@ def test_diff_runs_statuses(spark, tmp_path):
     assert got[("role", "enum")] == (3, 7, 4, "increased")
     assert got[("ts", "gap")] == (2, 0, -2, "resolved")
     assert got[("tool", "ref")] == (0, 4, 4, "new")
+
+
+def test_windowed_w1_stream_matches_batch(spark, tmp_path):
+    """Streaming W1 per event-time window equals the batch w1() closed form
+    over the same slice; a baseline-like window scores ~0, a shifted window
+    pays the moved-mass distance."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from fsharp_data_validation_spark.operators.drift import histogram, w1
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        windowed_w1_stream,
+    )
+
+    schema = StructType(
+        [StructField("v", DoubleType()), StructField("ts", TimestampType())]
+    )
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    w1rows = [(float(i % 4) * 25.0 + 1, t0) for i in range(200)]
+    w2rows = [
+        (float(12 + i % 8) * 25.0 + 1, t0 + timedelta(minutes=5)) for i in range(200)
+    ]
+    sentinel = [(1.0, t0 + timedelta(minutes=30))]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(w1rows + w2rows + sentinel, schema).write.parquet(src)
+
+    baseline = histogram(spark.createDataFrame(w1rows, schema), "v", 25.0, 20)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out_stream = windowed_w1_stream(
+        stream, baseline, "v", "ts", "1 minute", "2 minutes", 25.0, 20, round_to=6
+    )
+    q = (
+        out_stream.writeStream.format("memory")
+        .queryName("w1_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = sorted(
+        spark.sql("select * from w1_out").collect(), key=lambda r: r["win"]["start"]
+    )
+    assert [r["rows"] for r in out] == [200, 200]
+    assert out[0]["w1"] < 1e-6  # same distribution as baseline
+    assert out[1]["w1"] > 100  # mass moved ~12 buckets x 25 width
+
+    for rows, got in ((w1rows, out[0]["w1"]), (w2rows, out[1]["w1"])):
+        want = w1(
+            histogram(spark.createDataFrame(rows, schema), "v", 25.0, 20),
+            baseline,
+            n_buckets=20,
+            bucket_width=25.0,
+            round_to=6,
+        ).collect()[0]["w1"]
+        assert abs(got - want) <= 1e-3, (got, want)
