@@ -906,6 +906,49 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(_transcripts(spark, sf_dir), ["conv_id", "role"], top=5)
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing end-to-end: build REAL canonical PCM WAV files
+    (RIFF headers via make_wav_payload) with per-doc parameters, then
+    parse them back with the Arrow-batched RIFF parser
+    (operators/multimodal.py:decode_audio_meta — genuine WAV parsing, no
+    codec needed for PCM; malformed payloads flag ok=false instead of
+    killing the job). Oracle = the closed form the payloads were built
+    from. Every tenth payload is corrupted (truncated) to exercise the
+    hygiene path."""
+    import pandas as pd
+
+    from fsharp_data_validation_spark.operators.multimodal import (
+        decode_audio_meta,
+        make_wav_payload,
+    )
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    rates = [8000, 16000, 44100]
+
+    def synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wav = make_wav_payload(
+                    rates[did % 3], did % 2 + 1, 16, did % 50 + 10, did
+                )
+                ids.append(did)
+                payloads.append(wav[:20] if did % 10 == 3 else wav)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    media = (
+        load_docs(spark, sf_dir)
+        .select("doc_id")
+        .mapInPandas(synth, schema="media_id long, payload binary")
+    )
+    out = decode_audio_meta(media)
+    return out.select(
+        "media_id", "sample_rate", "channels", "bits", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"), "ok",
+    )
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1536,6 +1579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_health": q_embedding_health,
         "violation_examples": q_violation_examples,
         "skew_report": q_skew_report,
+        "audio_meta": q_audio_meta,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -1858,6 +1902,29 @@ def oracle_sql() -> dict[str, str]:
               FROM c2, tot ORDER BY n DESC, value ASC LIMIT 5
             )
             SELECT * FROM k1 UNION ALL SELECT * FROM k2
+            """
+        ),
+        # closed form of the per-doc WAV parameters q_audio_meta built the
+        # payloads from; doc_id % 10 == 3 payloads are truncated -> ok=false
+        "audio_meta": with_docs(
+            """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 10 = 3 THEN NULL
+                        WHEN doc_id % 3 = 0 THEN 8000
+                        WHEN doc_id % 3 = 1 THEN 16000
+                        ELSE 44100 END AS sample_rate,
+                   CASE WHEN doc_id % 10 = 3 THEN NULL
+                        ELSE CAST(doc_id % 2 + 1 AS INT) END AS channels,
+                   CASE WHEN doc_id % 10 = 3 THEN NULL ELSE 16 END AS bits,
+                   CASE WHEN doc_id % 10 = 3 THEN NULL
+                        ELSE CAST(doc_id % 50 + 10 AS BIGINT) END AS n_samples,
+                   CASE WHEN doc_id % 10 = 3 THEN NULL
+                        ELSE ROUND((doc_id % 50 + 10) * 1.0 /
+                          (CASE WHEN doc_id % 3 = 0 THEN 8000
+                                WHEN doc_id % 3 = 1 THEN 16000
+                                ELSE 44100 END), 6) END AS duration_s,
+                   doc_id % 10 <> 3 AS ok
+            FROM docs
             """
         ),
         "violation_trend": with_transcripts(
