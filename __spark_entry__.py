@@ -2471,14 +2471,16 @@ def oracle_sql() -> dict[str, str]:
                      unnest(string_split(text, ' ')) AS token
               FROM transcripts WHERE text IS NOT NULL
             )
+            , daily AS (SELECT day, COUNT(*) AS tokens FROM toks GROUP BY 1)
             , fst AS (SELECT token, MIN(day) AS day FROM toks GROUP BY 1)
-            , pd AS (SELECT day, COUNT(*) AS new_tokens FROM fst GROUP BY 1)
-            SELECT day, CAST(new_tokens AS BIGINT) AS new_tokens,
-                   CAST(SUM(new_tokens) OVER (
-                     ORDER BY day
+            , nw AS (SELECT day, COUNT(*) AS new_tokens FROM fst GROUP BY 1)
+            SELECT d.day, CAST(d.tokens AS BIGINT) AS tokens,
+                   CAST(COALESCE(nw.new_tokens, 0) AS BIGINT) AS new_tokens,
+                   CAST(SUM(COALESCE(nw.new_tokens, 0)) OVER (
+                     ORDER BY d.day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS BIGINT) AS vocab_size
-            FROM pd
+            FROM daily d LEFT JOIN nw ON nw.day = d.day
             """
         ),
         "weighted_sample": with_docs(

@@ -1026,32 +1026,47 @@ def vocab_growth(
     ts_col: str,
     text_col: str,
 ) -> DataFrame:
-    """Per-day vocabulary growth: how many tokens appear for the FIRST time
-    each day, plus the running vocabulary size — the vocab-drift monitor
-    (a stagnating corpus flattens; a domain shift spikes; the curve's
-    log-log slope is Heaps' law, public reference Heaps 1978).
+    """Per-day vocabulary growth: daily token volume, how many tokens
+    appear for the FIRST time that day, and the running vocabulary size —
+    the vocab-drift monitor (a stagnating corpus flattens; a domain shift
+    spikes; tokens-vs-vocab is Heaps' law, public reference Heaps 1978).
+    One row per day WITH data, including days contributing zero new tokens
+    (a zero new-token rate is itself the signal).
 
-    Scale shape: one explode + one token-keyed hash aggregate
-    (``min(day)`` per token — map-side combinable, the only corpus-scale
-    shuffle), then a |days|-row aggregate and a window over that tiny
-    relation. Returns (day, new_tokens, vocab_size) ordered by day."""
+    Scale shape: one explode feeding one (day, token) hash aggregate
+    (map-side combinable — the only corpus-scale shuffle); daily totals
+    and first-appearance counts both derive from that aggregate, which is
+    persisted (tracked) so the two branches don't re-plan the scan; the
+    join + running-sum window run on the |days|-row relation.
+    Returns (day, tokens, new_tokens, vocab_size) ordered by day."""
     from pyspark.sql import Window
 
-    first = (
+    from ..cache import persist_tracked
+
+    day_tok = persist_tracked(
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.to_date(F.col(ts_col)).alias("day"),
             F.explode(F.split(F.col(text_col), " ")).alias("token"),
         )
-        .groupBy("token")
-        .agg(F.min("day").alias("first_day"))
+        .groupBy("day", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    per_day = first.groupBy(F.col("first_day").alias("day")).agg(
-        F.count(F.lit(1)).alias("new_tokens")
+    daily = day_tok.groupBy("day").agg(F.sum("n").alias("tokens"))
+    new = (
+        day_tok.groupBy("token")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return per_day.select(
-        "day",
-        F.col("new_tokens").cast("bigint").alias("new_tokens"),
-        F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+    return (
+        daily.join(new, "day", "left")
+        .withColumn("new_tokens", F.coalesce("new_tokens", F.lit(0)))
+        .select(
+            "day",
+            F.col("tokens").cast("bigint").alias("tokens"),
+            F.col("new_tokens").cast("bigint").alias("new_tokens"),
+            F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
+        )
     )

@@ -564,9 +564,11 @@ def test_vocab_growth_first_appearance(spark):
     )
     got = {str(r["day"]): r for r in vocab_growth(df, "ts", "text").collect()}
     assert got["2024-01-01"]["new_tokens"] == 3
+    assert got["2024-01-01"]["tokens"] == 5  # daily volume counts repeats
     assert got["2024-01-02"]["new_tokens"] == 1
-    assert "2024-01-03" not in got
-    assert got["2024-01-04"]["new_tokens"] == 1
+    assert "2024-01-03" not in got  # NULL-text-only day: no data
+    assert got["2024-01-04"]["new_tokens"] == 1  # e counted once
+    assert got["2024-01-04"]["tokens"] == 3
     assert got["2024-01-04"]["vocab_size"] == 5
 
 
