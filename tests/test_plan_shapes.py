@@ -379,3 +379,20 @@ def test_gopher_local_kernels_no_exchange(spark, sf):
     ):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_vocab_growth_scans_once(spark, sf):
+    """vocab_growth's (day, token) aggregate feeds two branches (daily
+    volume, first-appearance counts); the persist makes both InMemory
+    scans so the events parquet is read once."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.q_vocab_growth(spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert len(re.findall(r"Relation.*parquet", optimized)) <= 1
+    spark.catalog.clearCache()
