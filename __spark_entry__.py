@@ -949,6 +949,22 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the near-dup connected
+    components (operators/dedup.py:cluster_size_histogram) — the report a
+    dedup run ships with: per cluster size, cluster and document counts
+    (size 1 = unique docs; dup rate reads off the table). Two tiny
+    cascaded aggregates over the (doc, component) assignment."""
+    from fsharp_data_validation_spark.operators.dedup import (
+        cluster_size_histogram,
+        near_dup_components,
+    )
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    comp = near_dup_components(load_docs(spark, sf_dir), "doc_id", "text", 3, 0.8)
+    return cluster_size_histogram(comp, "component")
+
+
 def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment dedup (snippet-inside-doc pairs Jaccard
     misses): exact, via the asymmetric prefix filter — query-side prefix
@@ -1580,6 +1596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_examples": q_violation_examples,
         "skew_report": q_skew_report,
         "audio_meta": q_audio_meta,
+        "dup_stats": q_dup_stats,
         # --- r2 driver-green ---
         "row_suite": q_row_suite,
         "violation_trend": q_violation_trend,
@@ -3065,6 +3082,16 @@ SELECT id_a, id_b, containment FROM (
             """
         ),
         "dedup_components": _COMPONENTS_ORACLE,
+        "dup_stats": (
+            f"WITH comp AS ({_COMPONENTS_ORACLE})\n"
+            """
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_clusters,
+                   CAST(SUM(sz) AS BIGINT) AS n_docs
+            FROM (SELECT component, COUNT(*) AS sz FROM comp GROUP BY 1) c
+            GROUP BY 1
+            """
+        ),
         "sample_split": with_docs(
             f"""
             SELECT doc_id,

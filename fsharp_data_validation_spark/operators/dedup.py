@@ -761,3 +761,24 @@ def containment_dedup_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def cluster_size_histogram(components: DataFrame, comp_col: str = "component") -> DataFrame:
+    """Duplicate-cluster size distribution — the report a dedup run ships
+    with: per cluster size k, how many clusters and how many documents
+    live in them (size 1 = unique docs; the dup rate and the kept/dropped
+    doc counts all read off this table). Input is the (doc, component)
+    assignment from ``connected_components``.
+
+    Two tiny cascaded aggregates over the assignment relation (component
+    sizes, then the size histogram) — KB-scale output at any corpus size;
+    skew bounded by the largest dup cluster. Returns
+    (cluster_size, n_clusters, n_docs)."""
+    sizes = components.groupBy(comp_col).agg(F.count(F.lit(1)).alias("_sz"))
+    return (
+        sizes.groupBy(F.col("_sz").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("_sz").cast("bigint").alias("n_docs"),
+        )
+    )
