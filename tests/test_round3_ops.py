@@ -596,6 +596,12 @@ def test_gopher_kernels_equivalent(spark):
         (903, "t t t t t t"),
         (904, "a  b  a  b"),  # double spaces -> empty-string words
     ]
+    # unicode tokens + longer docs (sort order exercised beyond ASCII)
+    uni = ["héllo", "wörld", "日本", "ß", "a"]
+    rows += [
+        (1100 + i, " ".join(rng.choice(uni) for _ in range(rng.randint(20, 60))))
+        for i in range(50)
+    ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     for n in (1, 2, 3):
         a = sorted(
