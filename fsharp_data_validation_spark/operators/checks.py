@@ -15,6 +15,7 @@ O(#checks) rows: at 10^12 turns the output is the same ~10 rows.
 from __future__ import annotations
 
 import math
+import re
 
 from dataclasses import dataclass
 from typing import Sequence
@@ -40,6 +41,13 @@ class Check:
     def __post_init__(self) -> None:
         if self.op not in _OPS:
             raise ValueError(f"unsupported check op {self.op!r} (allowed: {_OPS})")
+        # the name is interpolated into a selectExpr stack() literal — keep
+        # it to a safe charset so a quote can't produce invalid/injected SQL
+        if not re.fullmatch(r"[A-Za-z0-9_.\- ]+", self.name or ""):
+            raise ValueError(
+                f"check name {self.name!r} must match [A-Za-z0-9_.- ]+ "
+                "(it is embedded in a SQL string literal)"
+            )
 
 
 def completeness(col: str) -> Column:

@@ -383,8 +383,20 @@ def cross_corpus_cosine_pairs(
     train-tile x eval GEMM in BLAS, emitting only qualifying pairs. Never
     an all-pairs join; shuffle volume is O(|train| + |eval| * B). Exact
     (same rounding rule as ``near_dup_pairs_blocked``, shared brute-force
-    oracle)."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    oracle). Zero-norm vectors (cosine undefined) are excluded from the
+    GEMM rather than emitted as NaN; route them through
+    ``embedding_health`` first if they need accounting."""
+    from pyspark.sql.types import StructField, StructType
+
+    # the id columns keep the INPUT id type (string corpus ids are as
+    # legitimate as bigint ones); both sides must agree
+    id_type = train.schema[id_col].dataType
+    if eval_df.schema[id_col].dataType != id_type:
+        raise TypeError(
+            f"{id_col} type mismatch: train={id_type.simpleString()} "
+            f"eval={eval_df.schema[id_col].dataType.simpleString()}"
+        )
+    id_np = "object" if id_type.simpleString() == "string" else "int64"
 
     t = _as_double(train, vec_col).select(
         F.col(id_col).alias("vid"),
@@ -400,22 +412,25 @@ def cross_corpus_cosine_pairs(
     )
     out_schema = StructType(
         [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
             StructField("sim", DoubleType()),
         ]
     )
 
     def tile_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+            {"id_a": id_np, "id_b": id_np, "sim": "float64"}
+        )
+        m_all = np.stack(pdf["v"].to_numpy()) if len(pdf) else np.zeros((0, 1))
+        norms_all = np.sqrt(np.einsum("ij,ij->i", m_all, m_all))
+        nonzero = norms_all > 0.0  # cosine undefined for zero vectors: drop
         side = pdf["side"].to_numpy()
-        ia = np.flatnonzero(side == 0)
-        ib = np.flatnonzero(side == 1)
+        ia = np.flatnonzero((side == 0) & nonzero)
+        ib = np.flatnonzero((side == 1) & nonzero)
         if len(ia) == 0 or len(ib) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "sim": "float64"}
-            )
-        m = np.stack(pdf["v"].to_numpy())
-        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+            return empty
+        m, norms = m_all, norms_all
         vids = pdf["vid"].to_numpy()
         sims = (m[ia] @ m[ib].T) / np.outer(norms[ia], norms[ib])
         idx_a, idx_b = np.nonzero(np.round(sims, round_to) >= threshold)

@@ -213,15 +213,28 @@ class ValidationRun:
         pin governing them in this run (both sides non-null). With
         per-partition pins, a single-partition rewrite drifts exactly that
         partition; with only a global pin, any input change drifts every
-        completed entry (the conservative fallback)."""
+        completed entry (the conservative fallback).
+
+        Legacy-pin grace: manifests written before per-partition pins
+        existed recorded the table-global pin for every entry, so an entry
+        whose recorded pin equals EITHER the governing partition pin OR
+        this run's global ``input_snapshot`` is treated as non-drifted —
+        otherwise resuming an old manifest over an unchanged
+        hive-partitioned input would flag every completed partition."""
         if self.input_snapshot is None and not self.partition_snapshots:
             return []
+
+        def _drifted(p: str, doc: dict) -> bool:
+            recorded = doc.get("input_snapshot")
+            governing = self._pin_for(p)
+            if recorded is None or governing is None:
+                return False
+            if recorded == governing:
+                return False
+            return recorded != self.input_snapshot  # legacy global-pin grace
+
         return sorted(
-            p
-            for p, doc in self.completed_partitions().items()
-            if doc.get("input_snapshot") is not None
-            and self._pin_for(p) is not None
-            and doc["input_snapshot"] != self._pin_for(p)
+            p for p, doc in self.completed_partitions().items() if _drifted(p, doc)
         )
 
     def pending_partitions(self, df: DataFrame) -> List[str]:

@@ -776,16 +776,3 @@ def test_cluster_size_histogram(spark):
     assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
     assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
     assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 1
-
-
-def test_cluster_size_histogram(spark):
-    from fsharp_data_validation_spark.operators.dedup import cluster_size_histogram
-
-    comp = spark.createDataFrame(
-        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
-        "doc_id int, component int",
-    )
-    got = {r["cluster_size"]: r for r in cluster_size_histogram(comp).collect()}
-    assert got[3]["n_clusters"] == 1 and got[3]["n_docs"] == 3
-    assert got[2]["n_clusters"] == 1 and got[2]["n_docs"] == 2
-    assert got[1]["n_clusters"] == 1 and got[1]["n_docs"] == 1

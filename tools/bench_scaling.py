@@ -33,6 +33,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from fsharp_data_validation_spark.cache import release_caches  # noqa: E402
+
 DATA_DIR = "/tmp/bench_transcripts"
 DOCS_DIR = "/tmp/bench_documents"
 
@@ -107,7 +109,7 @@ def run_dedup(cores: int, iters: int = 3) -> dict:
         pairs = minhash_lsh_pairs(docs, "doc_id", "text", 3, 32, 16, 0.8)
         pairs.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        spark.catalog.clearCache()  # fresh persist() materialization per pass
+        release_caches(spark, sweep_rdds=True)  # tracked-registry release (matches bench.py lifecycle)
         return dt
 
     once()
@@ -158,7 +160,7 @@ def run_textstats(cores: int, iters: int = 3) -> dict:
         with ThreadPoolExecutor(max_workers=3) as pool:
             list(pool.map(force, outs))
         dt = time.perf_counter() - t0
-        spark.catalog.clearCache()  # fresh persist() materialization per pass
+        release_caches(spark, sweep_rdds=True)  # tracked-registry release (matches bench.py lifecycle)
         return dt
 
     once()
