@@ -33,6 +33,7 @@ from fsharp_data_validation_spark.operators.drift import (
 from fsharp_data_validation_spark.operators.stats import column_profile, exact_quantiles
 from fsharp_data_validation_spark.operators.transcript_suite import transcript_row_suite
 from fsharp_data_validation_spark.sources.documents import (
+    ann_recall_oracle_sql as _ann_recall_oracle,
     lsh_construction_oracle_sql as _lsh_oracle,
     with_docs,
     with_vecs,
@@ -1131,6 +1132,20 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware token counting (r3 verdict task #5): greedy
+    longest-match subword tokens over the embedded public vocab — BPE/
+    WordPiece MaxMatch inference compiled to ONE regex alternation, so the
+    count is a codegen'd JVM column expression (zero Python) that DuckDB
+    replays verbatim (RE2 shares the leftmost-first alternation
+    semantics). Emits the whitespace count and the realized chars-per-token
+    calibration ratio alongside."""
+    from fsharp_data_validation_spark.operators.text import token_count_bpe
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return token_count_bpe(load_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fsharp_data_validation_spark.operators.text import quality_score
     from fsharp_data_validation_spark.sources.documents import load_docs
@@ -1266,6 +1281,52 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(
         load_vecs(spark, sf_dir), threshold=0.8, n_planes=6, n_tables=12
     )
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured-recall attestation of the APPROXIMATE ANN paths — the
+    configurations a 100 TB user actually runs (r3 verdict task #3):
+
+    - ``ivf``: ``ivf_topk`` with ``n_probe < n_cells`` over the
+      deterministic sampled-centroid quantizer (md5-order sample — the
+      SQL-replayable stand-in for a KMeans fit; the probe/equi-join/rerank
+      machinery, i.e. the part that trades recall for cost, is the
+      production code path), recall@5 vs ``brute_force_topk``.
+    - ``lsh``: ``lsh_near_dup_pairs`` at a reduced table count (6 planes x
+      4 tables — per-pair miss ~31% at sim=0.8, ~14% at 0.9, genuinely
+      approximate), pair recall vs the exact blocked-GEMM pairs.
+
+    One row per method: (method, n_expected, n_hit, recall, target, ok).
+    The DuckDB oracle replays BOTH constructions end-to-end
+    (sources.documents.ann_recall_oracle_sql), so the recall formula and
+    the approximate candidate generation are value-checked, not trusted."""
+    from fsharp_data_validation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_near_dup_pairs,
+        near_dup_pairs_blocked,
+        recall_report,
+        sampled_centroids,
+    )
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    vecs = load_vecs(spark, sf_dir)
+    qs = vecs.filter(F.col("vec_id") % 100 == 0)
+    cents = sampled_centroids(vecs, n_cells=8)
+    ivf = ivf_topk(vecs, qs, k=5, n_probe=4, centroids=cents)
+    exact_topk = brute_force_topk(vecs, qs, k=5)
+    lsh = lsh_near_dup_pairs(vecs, threshold=0.8, n_planes=6, n_tables=4)
+    exact_pairs = near_dup_pairs_blocked(vecs, threshold=0.8)
+    return recall_report(
+        ivf, exact_topk, ["query_id", "neighbor_id"], "ivf", ANN_RECALL_TARGETS["ivf"]
+    ).unionByName(
+        recall_report(lsh, exact_pairs, ["id_a", "id_b"], "lsh", ANN_RECALL_TARGETS["lsh"])
+    )
+
+
+#: documented recall floors for the approximate ANN configurations in
+#: q_ann_recall (attested per-round by the driver at sf0.01)
+ANN_RECALL_TARGETS = {"ivf": 0.6, "lsh": 0.6}
 
 
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1539,12 +1600,68 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness sweep attests the FIRST 50
-    # entries (observed in CORRECTNESS_r02.json).  Round 3 leads with the 22
-    # queries that lacked a green r2 driver row (the 7 r2-new + 14 r1-only +
-    # hll_rollup, now oracle-attestable); the 49 r2-green queries follow, so
-    # every query is driver-green across r2+r3 combined.
+    # entries. Round-4 rotation (r3 verdict task #1): the 2 never-attested
+    # r4-new queries lead, then the 49 r2-attested entries whose driver rows
+    # predate the round-3 refactors — 2 + 49 overflows the window by ONE, so
+    # the last of them (sample_split, a row-local hash-split predicate, the
+    # lowest-risk query in the block) sits at position 51 and rotates first
+    # in r5. The 50 r3-attested entries follow (rows current as of r3).
     return {
-        # --- never driver-checked (r2-new) ---
+        # --- never driver-checked (r4-new) ---
+        "ann_recall": q_ann_recall,
+        "token_count_bpe": q_token_count_bpe,
+        # --- r2-attested, rotated into the window for r4 re-attestation ---
+        "row_suite": q_row_suite,
+        "violation_trend": q_violation_trend,
+        "valid_turns": q_valid_turns,
+        "verdict": q_verdict,
+        "uniqueness": q_uniqueness,
+        "referential": q_referential,
+        "ordering": q_ordering,
+        "column_profile": q_column_profile,
+        "text_len_quantiles": q_text_len_quantiles,
+        "tdigest": q_tdigest,
+        "psi_drift": q_psi_drift,
+        "ks_drift": q_ks_drift,
+        "js_drift": q_js_drift,
+        "w1_drift": q_w1_drift,
+        "ts_gap_psi": q_ts_gap_psi,
+        "ts_gap_ks": q_ts_gap_ks,
+        "quantiles_by_day": q_quantiles_by_day,
+        "psi_by_day": q_psi_by_day,
+        "ks_by_day": q_ks_by_day,
+        "js_by_day": q_js_by_day,
+        "element_suite": q_element_suite,
+        "nested_suite": q_nested_suite,
+        "each_nested": q_each_nested,
+        "each_indexed": q_each_indexed,
+        "conv_stats": q_conv_stats,
+        "minmax": q_minmax,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "interval_join": q_interval_join,
+        "time_rollup": q_time_rollup,
+        "stratified_sample": q_stratified_sample,
+        "conv_dedup": q_conv_dedup,
+        "redact_pii": q_redact_pii,
+        "repetition": q_repetition,
+        "corpus_curate": q_corpus_curate,
+        "contamination_pairs": q_contamination_pairs,
+        "ngram_containment": q_ngram_containment,
+        "pack_windows": q_pack_windows,
+        "chunk_text": q_chunk_text,
+        "dedup_lines": q_dedup_lines,
+        "q1_pricing": q_q1_pricing,
+        "q3_shipping": q_q3_shipping,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "dedup_apply": q_dedup_apply,
+        "dedup_components": q_dedup_components,
+        "containment_dedup": q_containment_dedup,
+        "frame_sample": q_frame_sample,
+        "sample_split": q_sample_split,
+        # --- r3-attested (driver-green at the r3 code state) ---
+        # (r2-new block)
         "quota_sample": q_quota_sample,
         "encoding_quality": q_encoding_quality,
         "global_shuffle": q_global_shuffle,
@@ -1597,56 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "audio_meta": q_audio_meta,
         "dup_stats": q_dup_stats,
-        # --- r2 driver-green ---
-        "row_suite": q_row_suite,
-        "violation_trend": q_violation_trend,
-        "valid_turns": q_valid_turns,
-        "verdict": q_verdict,
-        "uniqueness": q_uniqueness,
-        "referential": q_referential,
-        "ordering": q_ordering,
-        "column_profile": q_column_profile,
-        "text_len_quantiles": q_text_len_quantiles,
-        "tdigest": q_tdigest,
-        "psi_drift": q_psi_drift,
-        "ks_drift": q_ks_drift,
-        "js_drift": q_js_drift,
-        "w1_drift": q_w1_drift,
-        "ts_gap_psi": q_ts_gap_psi,
-        "ts_gap_ks": q_ts_gap_ks,
-        "quantiles_by_day": q_quantiles_by_day,
-        "psi_by_day": q_psi_by_day,
-        "ks_by_day": q_ks_by_day,
-        "js_by_day": q_js_by_day,
-        "element_suite": q_element_suite,
-        "nested_suite": q_nested_suite,
-        "each_nested": q_each_nested,
-        "each_indexed": q_each_indexed,
-        "conv_stats": q_conv_stats,
-        "minmax": q_minmax,
-        "sessionize": q_sessionize,
-        "asof_join": q_asof_join,
-        "interval_join": q_interval_join,
-        "time_rollup": q_time_rollup,
-        "stratified_sample": q_stratified_sample,
-        "conv_dedup": q_conv_dedup,
-        "redact_pii": q_redact_pii,
-        "repetition": q_repetition,
-        "corpus_curate": q_corpus_curate,
-        "contamination_pairs": q_contamination_pairs,
-        "ngram_containment": q_ngram_containment,
-        "pack_windows": q_pack_windows,
-        "chunk_text": q_chunk_text,
-        "dedup_lines": q_dedup_lines,
-        "q1_pricing": q_q1_pricing,
-        "q3_shipping": q_q3_shipping,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "dedup_apply": q_dedup_apply,
-        "dedup_components": q_dedup_components,
-        "containment_dedup": q_containment_dedup,
-        "frame_sample": q_frame_sample,
-        "sample_split": q_sample_split,
     }
 
 
@@ -1883,8 +1950,25 @@ _COSINE_SQL = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from fsharp_data_validation_spark.operators.text import bpe_oracle_expr
+
     roles = _ROLES_SQL
+    _bpe = bpe_oracle_expr("text")
     return {
+        # full construction replay of BOTH approximate ANN paths + the
+        # recall formula (sources/documents.py:ann_recall_oracle_sql)
+        "ann_recall": _ann_recall_oracle(
+            k=5, n_cells=8, n_probe=4, threshold=0.8, n_planes=6, n_tables=4,
+            seed=7, ivf_target=ANN_RECALL_TARGETS["ivf"],
+            lsh_target=ANN_RECALL_TARGETS["lsh"],
+        ),
+        "token_count_bpe": with_docs(
+            f"SELECT doc_id, "
+            f"CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            f"{_bpe} AS n_bpe, "
+            f"ROUND(length(text) * 1.0 / {_bpe}, 4) AS chars_per_token "
+            f"FROM docs"
+        ),
         "row_suite": _ROW_SUITE_ORACLE,
         "violation_examples": _EXAMPLES_ORACLE,
         "skew_report": with_transcripts(

@@ -192,6 +192,7 @@ def context_budget_violations(
     ts_col: str = "ts",
     text_col: str = "text",
     tool_col: str = "tool",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Context-window budget validation: the running whitespace-token total
     of a conversation (ordered by turn) must stay within ``budget`` — the
@@ -207,14 +208,23 @@ def context_budget_violations(
     (turn_idx, ts, role, text, tool) so tie handling is engine-portable:
     fully-identical rows are the only possible ties, and their cum values
     form the same multiset under any tiebreak. Token rule matches
-    ``operators/text.py:token_count`` (single-space split; NULL -> 0)."""
+    ``operators/text.py:token_count`` (single-space split; NULL -> 0);
+    ``tokenizer="bpe"`` budgets in greedy-subword tokens instead
+    (``operators/text.py:bpe_token_count_col`` — still a column expr)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     o = F.coalesce(F.col(tool_col), F.lit(""))
-    n_tokens = (
-        F.when(F.col(text_col).isNull(), F.lit(0))
-        .otherwise(F.size(F.split(F.col(text_col), " ")))
-        .cast("bigint")
-    )
+    if tokenizer == "bpe":
+        from .text import bpe_token_count_col
+
+        n_tokens = bpe_token_count_col(text_col)
+    elif tokenizer == "whitespace":
+        n_tokens = (
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(F.split(F.col(text_col), " ")))
+            .cast("bigint")
+        )
+    else:
+        raise ValueError(f"tokenizer must be whitespace|bpe, got {tokenizer!r}")
     w = (
         Window.partitionBy(conv_col)
         .orderBy(idx_col, ts_col, role_col, t, o)

@@ -195,6 +195,31 @@ def near_dup_pairs_blocked(
     return tiles.groupBy("bi", "bj").applyInPandas(tile_kernel, out_schema)
 
 
+def sampled_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids: the ``n_cells`` vectors
+    that sort first by ``(md5(id), id)`` — a seedless uniform sample both
+    engines derive identically (md5 of the decimal id string), unlike a
+    KMeans fit. This is the random-point-initialized IVF quantizer (no
+    Lloyd iterations): recall at a given n_probe is somewhat below a
+    trained quantizer's, but the probe/join/rerank machinery — the part
+    that trades recall for cost — is byte-identical. ``orderBy + limit``
+    compiles to TakeOrdered; the collect is O(n_cells) rows (control-plane
+    scalar, same class as the dedup convergence witnesses)."""
+    rows = (
+        _as_double(vectors, vec_col)
+        .select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("i").cast("string")), F.col("i"))
+        .limit(n_cells)
+        .collect()
+    )
+    return np.stack([np.asarray(r["v"], dtype="float64") for r in rows])
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -206,41 +231,63 @@ def ivf_topk(
     seed: int = 13,
     round_to: int = 6,
     max_iter: int = 20,
+    centroids: Optional[np.ndarray] = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate nearest neighbor: k-means coarse
-    quantizer -> per-cell inverted lists -> probe the ``n_probe`` nearest
-    cells per query -> exact cosine rerank of the candidates.
+    """IVF (inverted-file) approximate nearest neighbor: coarse quantizer
+    -> per-cell inverted lists -> probe the ``n_probe`` nearest cells per
+    query -> exact cosine rerank of the candidates.
 
-    Spark shape: the quantizer is Spark ML KMeans (seeded, deterministic);
-    cell assignment is the model transform (one pass over the vectors); the
-    probe step broadcasts the tiny centroid matrix into a pandas UDF that
-    returns each query's probe-cell list; candidates come from an equi-join
-    on cell id (shuffle bounded by list sizes, not n^2); rerank reuses the
-    Arrow pair-cosine kernel + a per-query top-k window.
+    Spark shape: the quantizer is Spark ML KMeans (seeded, deterministic)
+    — or, when ``centroids`` is supplied, a fixed centroid matrix (e.g.
+    ``sampled_centroids``: deterministic AND DuckDB-replayable, which is
+    how the approximate-path recall is oracle-attested). Cell assignment
+    is one pass over the vectors (model transform / argmin-distance Arrow
+    UDF); the probe step broadcasts the tiny centroid matrix into a pandas
+    UDF that returns each query's probe-cell list; candidates come from an
+    equi-join on cell id (shuffle bounded by list sizes, not n^2); rerank
+    reuses the Arrow pair-cosine kernel + a per-query top-k window.
 
     With ``n_probe == n_cells`` recall is 1.0 and the result equals
-    ``brute_force_topk`` (ties broken identically) — which is how the
-    oracle checks it; smaller ``n_probe`` is the 100 TB path.
+    ``brute_force_topk`` (ties broken identically); smaller ``n_probe`` is
+    the 100 TB path, attested by ``recall_report`` (query ``ann_recall``).
     """
     from pyspark.sql.types import ArrayType, IntegerType
-
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     v = _as_double(vectors, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
     )
-    ml_df = v.withColumn("features", array_to_vector("v"))
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter
-    ).fit(ml_df)
-    assigned = model.transform(ml_df).select(
-        "neighbor_id", "v", F.col("prediction").alias("cell")
-    )
-    centers = np.stack(
-        [c.toArray() if hasattr(c, "toArray") else np.asarray(c)
-         for c in model.clusterCenters()]
-    )
+    if centroids is not None:
+        centers = np.asarray(centroids, dtype="float64")
+        n_cells = len(centers)
+
+        @F.pandas_udf(IntegerType())
+        def assign_cell(batch: pd.Series) -> pd.Series:
+            if len(batch) == 0:
+                return pd.Series([], dtype="int32")
+            m = np.stack(batch.to_numpy())
+            d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            # argmin ties -> lowest cell index (matches the oracle's
+            # ORDER BY distance, cell)
+            return pd.Series(np.argmin(d2, axis=1).astype("int32"))
+
+        assigned = v.select(
+            "neighbor_id", "v", assign_cell(F.col("v")).alias("cell")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml_df = v.withColumn("features", array_to_vector("v"))
+        model = KMeans(
+            k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter
+        ).fit(ml_df)
+        assigned = model.transform(ml_df).select(
+            "neighbor_id", "v", F.col("prediction").alias("cell")
+        )
+        centers = np.stack(
+            [c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+             for c in model.clusterCenters()]
+        )
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(qs: pd.Series) -> pd.Series:
@@ -248,7 +295,8 @@ def ivf_topk(
             return pd.Series([], dtype="object")
         m = np.stack(qs.to_numpy())  # (q, dim)
         d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :n_probe].astype("int32")
+        # stable sort: equidistant cells probe in index order (oracle parity)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype("int32")
         return pd.Series(list(order))
 
     q = _as_double(queries, vec_col).select(
@@ -491,4 +539,39 @@ def embedding_health(
         F.round(F.avg("_norm"), round_to).alias("mean_norm"),
         F.round(F.min("_norm"), round_to).alias("min_norm"),
         F.round(F.max("_norm"), round_to).alias("max_norm"),
+    )
+
+
+def recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    keys: "list[str]",
+    method: str,
+    target: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """Measured recall of an approximate result against the exact result on
+    the same input — the attestation a 100 TB user needs before trusting an
+    ANN configuration. Returns ONE row:
+    (method, n_expected, n_hit, recall, target, ok).
+
+    Shape: both inputs are already KB-scale result sets (top-k lists /
+    qualifying pairs), so the left join on the key tuple and the single
+    aggregate are negligible next to the searches themselves. ``recall`` is
+    rounded BEFORE the >= comparison so pass/fail reproduces across engines
+    at the published precision."""
+    a = approx.select(*keys).distinct().withColumn("_hit", F.lit(1))
+    flagged = exact.select(*keys).join(a, list(keys), "left")
+    counted = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_expected"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+    )
+    recall = F.round(F.col("n_hit") / F.col("n_expected"), round_to)
+    return counted.select(
+        F.lit(method).alias("method"),
+        "n_expected",
+        "n_hit",
+        recall.alias("recall"),
+        F.lit(float(target)).alias("target"),
+        (recall >= F.lit(float(target))).alias("ok"),
     )

@@ -205,3 +205,99 @@ def sessionize(
         F.max(ts_col).alias("session_end"),
         (_micros(F.max(ts_col)) - _micros(F.min(ts_col))).alias("duration_us"),
     )
+
+
+def sessionize_salted(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """``sessionize`` for Zipf-hot keys: output-identical, but the event
+    window runs over (key, time_bucket) instead of (key), so no single
+    task ever sorts a whole hot key's timeline.
+
+    Phase 1 — local sessionize: events are bucketed by
+    ``floor(ts / bucket_seconds)`` (a deterministic time salt: unlike a
+    hash salt it preserves the within-bucket total order, which gap
+    sessionization needs); the lag + running-sum windows number sessions
+    1.. within each (key, bucket).
+
+    Phase 2 — boundary merge on AGGREGATES: one row per (key, bucket)
+    (n_sessions, first/last event ts) — KB-scale however hot the key —
+    is enough to decide whether a bucket's first session continues the
+    previous non-empty bucket's last session (boundary gap <= threshold)
+    and to convert local session numbers to global ones with a running
+    sum of (n_sessions - merged) over buckets. Sessions spanning MANY
+    buckets chain correctly: each intermediate bucket contributes one
+    merged single-session row. The final per-session aggregate regroups
+    partial sessions by the global number.
+
+    Cost vs ``sessionize``: one extra tiny aggregate + broadcast-size
+    join; the event-side shuffle count is identical (one). Use when the
+    key histogram is skewed (see ``stats.skew_report``); the default
+    ``sessionize`` is fine for bounded per-key cardinalities.
+    """
+    bucket = F.floor(_micros(F.col(ts_col)) / (bucket_seconds * 1_000_000)).cast(
+        "bigint"
+    )
+    ev = df.select(
+        F.col(key_col), F.col(ts_col), F.col(id_col), bucket.alias("_bk")
+    )
+    wb = Window.partitionBy(key_col, "_bk").orderBy(F.col(ts_col), F.col(id_col))
+    gap_us = _micros(F.col(ts_col)) - _micros(F.lag(ts_col).over(wb))
+    is_new = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    runb = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = ev.select(
+        key_col,
+        ts_col,
+        "_bk",
+        F.sum(is_new).over(runb).cast("bigint").alias("_lno"),
+    )
+
+    # per-(key, bucket) summary: tiny regardless of key heat
+    summary = local.groupBy(key_col, "_bk").agg(
+        F.max("_lno").alias("_n"),
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+    )
+    wk = Window.partitionBy(key_col).orderBy("_bk")
+    boundary_gap = _micros(F.col("_first_ts")) - _micros(
+        F.lag("_last_ts").over(wk)
+    )
+    merged = F.when(
+        boundary_gap.isNotNull() & (boundary_gap <= gap_seconds * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_merge = summary.select(key_col, "_bk", "_n", merged.alias("_merged"))
+    offset = (
+        F.sum(F.col("_n") - F.col("_merged")).over(
+            Window.partitionBy(key_col)
+            .orderBy("_bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    )
+    numbered = with_merge.select(
+        key_col,
+        "_bk",
+        "_merged",
+        F.coalesce(offset, F.lit(0)).cast("bigint").alias("_offset"),
+    )
+
+    glob = local.join(numbered, [key_col, "_bk"]).select(
+        key_col,
+        ts_col,
+        (F.col("_offset") + F.col("_lno") - F.col("_merged"))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return glob.groupBy(key_col, "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (_micros(F.max(ts_col)) - _micros(F.min(ts_col))).alias("duration_us"),
+    )

@@ -32,6 +32,97 @@ def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# -- subword (BPE-style) tokenizer kernel -------------------------------------
+#
+# Real pipelines budget in SUBWORD tokens, not whitespace words. Greedy
+# longest-match inference over a fixed merge vocabulary (the decode-time
+# side of BPE, Sennrich et al. 2016 / WordPiece MaxMatch, Wu et al. 2016 —
+# public work) is exactly expressible as ONE regex alternation sorted
+# longest-first: leftmost-first alternation picks the longest piece at
+# each position, unmatched single characters fall through to the [^ ]
+# tail (one token each), and spaces are skipped (no piece contains one).
+# Java regex (Spark, JVM codegen side) and RE2 (DuckDB) share these
+# leftmost-first semantics over the IDENTICAL pattern string, so the count
+# is engine-portable with ZERO Python in the hot path — the tokenizer is
+# `size(regexp_extract_all(...))`, a plain column expression.
+
+#: small public-knowledge English merge vocabulary: high-frequency words,
+#: morphemes (prefixes/suffixes), and character bigrams. Lowercase [a-z]
+#: only — regex-literal-safe by construction.
+BPE_VOCAB = sorted(
+    {
+        # frequent whole words
+        "the", "and", "of", "to", "in", "is", "it", "that", "for", "as",
+        "with", "was", "on", "are", "be", "this", "at", "by", "an", "or",
+        "from", "they", "we", "you", "he", "she", "not", "have", "has",
+        "had", "but", "all", "can", "will", "one", "two", "data",
+        # morphemes
+        "ing", "ed", "er", "est", "ion", "tion", "ation", "ment", "ness",
+        "able", "ible", "ly", "al", "ic", "ous", "ive", "ful", "less",
+        "ism", "ist", "ity", "ate", "ize", "en", "un", "re", "pre",
+        "post", "pro", "con", "com", "dis", "mis", "over", "under",
+        "inter", "sub", "trans",
+        # frequent character bigrams
+        "th", "he", "nd", "ti", "es", "te", "ar", "st", "nt", "ng", "se",
+        "ha", "ou", "io", "le", "ve", "co", "me", "de", "hi", "ri", "ro",
+        "ne", "ea", "ra", "ce", "li", "ch", "ll", "ma", "si", "om", "ur",
+        "ca", "el", "ta", "la", "ns", "di", "fo", "ho", "pe", "ec", "pr",
+        "no", "ct", "us", "ac", "ot", "il", "tr", "nc", "et", "ut", "ss",
+        "so", "rs", "lo", "wa", "ge", "ie", "wh", "qu", "ow",
+    }
+)
+
+
+def bpe_pattern(vocab=None) -> str:
+    """The greedy longest-match alternation for ``vocab`` (default
+    ``BPE_VOCAB``): pieces sorted by (length DESC, piece ASC) — identical
+    order on both engines — with a single-codepoint non-space fallback."""
+    import re as _re
+
+    pieces = sorted(set(vocab or BPE_VOCAB), key=lambda p: (-len(p), p))
+    for p in pieces:
+        if not _re.fullmatch(r"[a-z0-9]+", p):
+            raise ValueError(
+                f"vocab piece {p!r} must be [a-z0-9]+ (regex-literal safety)"
+            )
+    return "(?:" + "|".join(pieces) + "|[^ ])"
+
+
+def bpe_token_count_col(text_col, vocab=None) -> F.Column:
+    """Subword token count as a pure JVM column expression (codegen'd
+    regexp_extract_all over the lowercased text; NULL text -> 0)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.size(F.regexp_extract_all(F.lower(c), F.lit(bpe_pattern(vocab)), 0))
+    return F.when(c.isNull(), F.lit(0)).otherwise(n).cast("bigint")
+
+
+def bpe_oracle_expr(text_expr: str, vocab=None) -> str:
+    """The DuckDB rendering of ``bpe_token_count_col`` (same pattern
+    string, RE2 leftmost-first) for oracle SQL construction."""
+    pat = bpe_pattern(vocab).replace("'", "''")
+    return (
+        f"CAST(CASE WHEN {text_expr} IS NULL THEN 0 ELSE "
+        f"len(regexp_extract_all(lower({text_expr}), '{pat}')) END AS BIGINT)"
+    )
+
+
+def token_count_bpe(
+    df: DataFrame, id_col: str, text_col: str, round_to: int = 4
+) -> DataFrame:
+    """Tokenizer-aware token counting: (id, n_tokens, n_bpe, chars_per_token)
+    — whitespace words, greedy-subword tokens over ``BPE_VOCAB``, and the
+    realized chars-per-token ratio (the calibration number pipelines use to
+    sanity-check a token budget). One projection, zero shuffle."""
+    n_ws = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    n_bpe = bpe_token_count_col(text_col)
+    return df.select(
+        F.col(id_col),
+        n_ws.alias("n_tokens"),
+        n_bpe.alias("n_bpe"),
+        F.round(F.length(text_col) / n_bpe, round_to).alias("chars_per_token"),
+    )
+
+
 def quality_score(df: DataFrame, id_col: str, text_col: str, round_to: int = 4) -> DataFrame:
     """Length / alpha-ratio / mean-word-length / stopword-ratio quality
     signals, one projection."""
@@ -284,6 +375,7 @@ def pack_context_windows(
     text_col: str = "text",
     budget: int = 64,
     kernel: str = "loop",
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Greedy context-window packing — assign each conversation turn to a
     training chunk so chunks never exceed ``budget`` whitespace tokens
@@ -315,6 +407,11 @@ def pack_context_windows(
     because per-chunk numpy call overhead exceeds the tight per-row loop,
     and the kernel is <2% of pipeline wall anyway (shuffle/Arrow-bound).
     ``"vec"`` wins only when budget >> per-turn tokens (long chunk jumps).
+
+    ``tokenizer`` selects the budget unit: ``"whitespace"`` (default, the
+    rule of ``token_count``) or ``"bpe"`` (greedy-subword counts via
+    ``bpe_token_count_col`` — still a JVM column expression, so the packing
+    recurrence is unchanged and Python still never sees the text).
     """
     import numpy as np
     import pandas as pd
@@ -325,13 +422,18 @@ def pack_context_windows(
         StructType,
     )
 
-    # NULL text counts 0 tokens (len(string_split(NULL)) is NULL -> 0 in
-    # the oracle); '' counts 1 (one empty token) on both engines
-    n_tok = (
-        F.when(F.col(text_col).isNull(), F.lit(0))
-        .otherwise(F.size(F.split(F.col(text_col), " ")))
-        .cast("long")
-    )
+    if tokenizer == "bpe":
+        n_tok = bpe_token_count_col(text_col).cast("long")
+    elif tokenizer == "whitespace":
+        # NULL text counts 0 tokens (len(string_split(NULL)) is NULL -> 0 in
+        # the oracle); '' counts 1 (one empty token) on both engines
+        n_tok = (
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(F.split(F.col(text_col), " ")))
+            .cast("long")
+        )
+    else:
+        raise ValueError(f"tokenizer must be whitespace|bpe, got {tokenizer!r}")
     proj = (
         df.select(
             F.col(conv_col),

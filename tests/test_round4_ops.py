@@ -130,3 +130,230 @@ def test_cross_corpus_cosine_string_ids_and_zero_norm(spark):
     )
     with pytest.raises(TypeError):
         cross_corpus_cosine_pairs(t, e_long)
+
+
+# -- BPE-style subword tokenizer ----------------------------------------------
+
+
+def test_bpe_token_count_matches_python_spec(spark):
+    """The JVM regex alternation must implement greedy longest-match
+    exactly: pin against a direct python re.findall of the same pattern
+    (leftmost-first semantics are shared by java.util.regex, RE2 and
+    python re for an identical pattern string), plus hand-computed cases."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.operators.text import (
+        bpe_pattern,
+        bpe_token_count_col,
+    )
+
+    pat = re.compile(bpe_pattern())
+    texts = [
+        "the table scan window value query",
+        "a b  c",
+        "",
+        None,
+        "THE TABLE",  # lowercased before matching
+        "tablescan queueing",
+        "x" * 40,
+        "unicode éè 中文 \U0001f600 ok",
+        "punct,uation! and-dashes_under",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", bpe_token_count_col("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = 0 if t is None else len(pat.findall(t.lower()))
+        assert got[i] == want, (t, got[i], want)
+    assert got[6] == 40  # no piece matches 'xxxx' -> one token per char
+
+
+def test_bpe_vocab_rejects_unsafe_pieces():
+    import pytest as _pytest
+
+    from fsharp_data_validation_spark.operators.text import bpe_pattern
+
+    with _pytest.raises(ValueError):
+        bpe_pattern(["ok", "bad|piece"])
+    with _pytest.raises(ValueError):
+        bpe_pattern(["Upper"])
+
+
+def test_pack_windows_bpe_parity(spark):
+    """pack_context_windows(tokenizer='bpe') must run the identical greedy
+    recurrence over subword counts: replay the packing in python from the
+    BPE counts and compare chunk assignments exactly."""
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.operators.text import (
+        bpe_token_count_col,
+        pack_context_windows,
+    )
+
+    rows = []
+    texts = [
+        "the table scan window",
+        "value query batch",
+        "a",
+        "tablescan queueing overflow beyond the budget for sure honestly",
+        "sort merge join",
+        "x y z",
+    ]
+    for c in ("c1", "c2"):
+        for i, t in enumerate(texts):
+            rows.append((c, i, t))
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    budget = 12
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["n_tokens"], r["chunk_id"])
+        for r in pack_context_windows(df, budget=budget, tokenizer="bpe").collect()
+    }
+    counts = {
+        r["turn_idx"]: r["n"]
+        for r in df.filter(F.col("conv_id") == "c1")
+        .select("turn_idx", bpe_token_count_col("text").alias("n"))
+        .collect()
+    }
+    # python replay of the greedy recurrence
+    for c in ("c1", "c2"):
+        chunk, acc = 1, 0
+        for i in range(len(texts)):
+            n = counts[i]
+            if acc > 0 and acc + n > budget:
+                chunk, acc = chunk + 1, 0
+            acc += n
+            assert got[(c, i)] == (n, chunk), (c, i, got[(c, i)], (n, chunk))
+
+
+def test_context_budget_bpe(spark):
+    from datetime import datetime
+
+    from fsharp_data_validation_spark.operators.crossrow import (
+        context_budget_violations,
+    )
+    from fsharp_data_validation_spark.operators.text import bpe_token_count_col
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "the table scan", None, ts),
+        ("c1", 1, "assistant", "tablescan queueing overflow", None, ts),
+        ("c1", 2, "user", "x", None, ts),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    ns = [
+        r["n"]
+        for r in df.orderBy("turn_idx")
+        .select(bpe_token_count_col("text").alias("n"))
+        .collect()
+    ]
+    budget = ns[0] + ns[1]  # third turn crosses the line
+    out = context_budget_violations(df, budget=budget, tokenizer="bpe").collect()
+    assert [(r["turn_idx"], r["cum_tokens"]) for r in out] == [
+        (2, ns[0] + ns[1] + ns[2])
+    ]
+
+
+# -- ANN recall attestation -----------------------------------------------------
+
+
+def test_recall_report_formula(spark):
+    from fsharp_data_validation_spark.operators.similarity import recall_report
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10), (2, 12)], "query_id int, neighbor_id int"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (2, 12), (2, 99), (2, 12)],  # one dup, one non-hit extra
+        "query_id int, neighbor_id int",
+    )
+    row = recall_report(
+        approx, exact, ["query_id", "neighbor_id"], "m", target=0.5
+    ).collect()[0]
+    assert (row["method"], row["n_expected"], row["n_hit"]) == ("m", 4, 2)
+    assert row["recall"] == 0.5 and row["ok"] is True
+
+    # empty approx -> zero hits, ok False
+    empty = approx.filter("query_id < 0")
+    row = recall_report(
+        empty, exact, ["query_id", "neighbor_id"], "m", target=0.5
+    ).collect()[0]
+    assert row["n_hit"] == 0 and row["ok"] is False
+
+
+def test_ivf_fixed_centroids_full_probe_equals_bruteforce(spark):
+    """With centroids supplied and n_probe == n_cells the probe covers every
+    cell, so the fixed-centroid path must equal brute force exactly —
+    pinning the assignment/probe/rerank machinery independently of
+    quantizer quality."""
+    import numpy as np
+
+    from fsharp_data_validation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        sampled_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = vecs.filter("vec_id % 10 = 0")
+    cents = sampled_centroids(vecs, n_cells=4)
+    assert cents.shape == (4, 8)
+    got = sorted(
+        tuple(r) for r in ivf_topk(vecs, qs, k=3, n_probe=4, centroids=cents).collect()
+    )
+    want = sorted(tuple(r) for r in brute_force_topk(vecs, qs, k=3).collect())
+    assert got == want
+
+
+# -- salted sessionize --------------------------------------------------------
+
+
+def test_sessionize_salted_equals_sessionize(spark):
+    """Output parity of the hot-key-safe time-bucket split + boundary merge
+    against the plain per-key window, on a corpus engineered to stress the
+    merge: sessions spanning many buckets, boundary events exactly at the
+    gap threshold, empty buckets inside a session gap, and a hot key."""
+    import random
+    from datetime import datetime, timedelta
+
+    from fsharp_data_validation_spark.operators.temporal import (
+        sessionize,
+        sessionize_salted,
+    )
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for key, n in (("hot", 400), ("warm", 60), ("single", 1)):
+        t = 0
+        for _ in range(n):
+            # mix of tiny gaps (same session), exactly-threshold gaps (same
+            # session: rule is gap > threshold), and session breaks that
+            # often skip several whole buckets
+            t += rng.choice([1, 5, 1800, 1801, 4000, 90000, 200000])
+            rows.append((key, base + timedelta(seconds=t), eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_id long")
+
+    want = sorted(
+        tuple(r)
+        for r in sessionize(df, "user_id", "ts", "event_id", gap_seconds=1800).collect()
+    )
+    for bucket_seconds in (86400, 3600, 600):  # incl. bucket < gap
+        got = sorted(
+            tuple(r)
+            for r in sessionize_salted(
+                df, "user_id", "ts", "event_id",
+                gap_seconds=1800, bucket_seconds=bucket_seconds,
+            ).collect()
+        )
+        assert got == want, f"bucket_seconds={bucket_seconds}"

@@ -37,6 +37,7 @@ from fsharp_data_validation_spark.cache import release_caches  # noqa: E402
 
 DATA_DIR = "/tmp/bench_transcripts"
 DOCS_DIR = "/tmp/bench_documents"
+VECS_DIR = "/tmp/bench_vectors"
 
 
 def gen(n_turns: int) -> None:
@@ -84,6 +85,96 @@ def gen_docs(n_docs: int) -> None:
         "overwrite"
     ).parquet(DOCS_DIR)
     spark.stop()
+
+
+def gen_vecs(n_vecs: int, dim: int = 64) -> None:
+    """Deterministic synthetic embedding corpus: v[j] derived from
+    xxhash64(id, j) mapped to [-1, 1]; every id%100==1 vector is a planted
+    near-duplicate of id-1 (same base coordinates, +0.02 on coordinate 0 —
+    cosine ~0.999). Pure column expressions over spark.range, float32 on
+    disk (the operators cast to double)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(master="local[32]", app="bench_gen_vecs")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.range(0, n_vecs, 1, 128)
+    base = F.when(F.col("id") % 100 == 1, F.col("id") - 1).otherwise(F.col("id"))
+
+    def coord(j):
+        h = F.xxhash64(base * F.lit(1_000_003) + F.lit(j))
+        x = (F.pmod(h, F.lit(2_000_001)) - F.lit(1_000_000)) / F.lit(1_000_000.0)
+        if j == 0:
+            x = x + F.when(F.col("id") % 100 == 1, F.lit(0.02)).otherwise(F.lit(0.0))
+        return x.cast("float")
+
+    emb = F.array(*[coord(j) for j in range(dim)])
+    df.select(F.col("id").alias("vec_id"), emb.alias("embedding")).write.mode(
+        "overwrite"
+    ).parquet(VECS_DIR)
+    spark.stop()
+
+
+def run_ann(cores: int, iters: int = 3) -> dict:
+    """Similarity/ANN family at local[cores] on the synthetic vectors,
+    forced concurrently (r3 verdict task #4):
+
+    - cross-corpus blocked GEMM (`cross_corpus_cosine_pairs`): the linear
+      contamination shape — train hashed into blocks, small eval side
+      replicated per block, one BLAS tile per group;
+    - sign-LSH near-dup pairs (`lsh_near_dup_pairs`, 20 planes x 4 tables):
+      Arrow-matmul sketch -> (table, bucket) self-join -> exact verify of
+      candidates only (planted near-dups at cosine ~0.999 miss a 20-bit
+      table with ~25%, all four with ~0.4%)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.operators.similarity import (
+        cross_corpus_cosine_pairs,
+        lsh_near_dup_pairs,
+    )
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_ann_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    vecs = spark.read.parquet(VECS_DIR)
+    n = vecs.count()
+    eval_side = vecs.filter(F.col("vec_id") % 500 == 0)
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        outs = [
+            cross_corpus_cosine_pairs(
+                vecs, eval_side, threshold=0.9, blocks=8
+            ),
+            lsh_near_dup_pairs(
+                vecs, threshold=0.9, dim=64, n_planes=20, n_tables=4
+            ),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(force, outs))
+        dt = time.perf_counter() - t0
+        release_caches(spark, sweep_rdds=True)
+        return dt
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
 
 
 def run_dedup(cores: int, iters: int = 3) -> dict:
@@ -372,13 +463,14 @@ def main() -> None:
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats"], default="suite")
+    ap.add_argument("--vecs", type=int, default=1_000_000)
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     args = ap.parse_args()
 
     if args.run:
         fn = {"dedup": run_dedup, "curate": run_curate, "pack": run_pack,
-              "suite": run_suite, "textstats": run_textstats}[args.mode]
+              "suite": run_suite, "textstats": run_textstats, "ann": run_ann}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
@@ -386,6 +478,10 @@ def main() -> None:
         if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
             print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
             gen_docs(args.docs)
+    elif args.mode == "ann":
+        if not os.path.exists(VECS_DIR + "/_SUCCESS"):
+            print(f"generating {args.vecs:,} vectors -> {VECS_DIR}", file=sys.stderr)
+            gen_vecs(args.vecs)
     elif not os.path.exists(DATA_DIR + "/_SUCCESS"):
         print(f"generating {args.turns:,} turns -> {DATA_DIR}", file=sys.stderr)
         gen(args.turns)
@@ -415,6 +511,7 @@ def main() -> None:
         "pack": "packed turns/sec, stateful context-window packing (mapInPandas)",
         "suite": "validated turns/sec, full constraint suite",
         "textstats": "analyzed docs/sec, text-analytics family (top-ngram + Zipf + PMI)",
+        "ann": "searched vectors/sec, similarity family (blocked-GEMM cross-corpus + sign-LSH near-dup)",
     }[args.mode]
     summary = {
         "metric": metric,
@@ -455,9 +552,17 @@ def main() -> None:
         "aggregates; PMI collocations: ONE tagged scan -> persisted (kind, token) "
         f"counts -> vocab-keyed scoring joins) on the same synthetic corpus "
         f"({summary['turns']:,} docs, `tools/bench_scaling.py gen_docs`)",
+        "ann": "similarity/ANN family forced concurrently (cross-corpus blocked "
+        "GEMM: train hashed into 8 blocks, eval side replicated per block, one "
+        "float64 BLAS tile per group, threshold filter in the kernel; sign-LSH "
+        "near-dup: Arrow-matmul 20-plane x 4-table sketch -> (table, bucket) "
+        "self-join -> exact cosine verify of candidates only) on a deterministic "
+        f"synthetic embedding corpus ({summary['turns']:,} x 64-dim vectors with "
+        "planted near-dups at cosine ~0.999, `tools/bench_scaling.py gen_vecs`)",
     }[args.mode]
     unit = ("validated turns/sec" if args.mode == "suite"
-            else "turns/sec" if args.mode == "pack" else "docs/sec")
+            else "turns/sec" if args.mode == "pack"
+            else "vectors/sec" if args.mode == "ann" else "docs/sec")
     section = (
         f"\n## {summary['metric']}\n\n"
         f"Same job — {job_desc} — at two parallelism levels, one fresh JVM per level; "
