@@ -30,13 +30,14 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 
-def adversarial_events(spark, n_events: int) -> DataFrame:
-    """~40% of events on one hot key, the rest spread over 100k uniform
-    keys; timestamps walk forward with a deterministic mix of intra-session
-    gaps and session breaks. Pure column exprs over spark.range."""
+def adversarial_events(spark, n_events: int, hot_pct: int = 40) -> DataFrame:
+    """``hot_pct``% of events on one hot key, the rest spread over 100k
+    uniform keys; timestamps walk forward with a deterministic mix of
+    intra-session gaps and session breaks. Pure column exprs over
+    spark.range."""
     df = spark.range(0, n_events, 1, 128)
     h = F.xxhash64("id")
-    key = F.when(F.pmod(h, F.lit(10)) < 4, F.lit("hot")).otherwise(
+    key = F.when(F.pmod(h, F.lit(100)) < hot_pct, F.lit("hot")).otherwise(
         F.concat(F.lit("u"), F.pmod(F.xxhash64(F.col("id") * 31 + 7), F.lit(100000)).cast("string"))
     )
     # per-event gap: mostly small (same session), sometimes > 1800 (break)
@@ -56,6 +57,7 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=5_000_000)
     ap.add_argument("--equiv-events", type=int, default=300_000)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--hot-pct", type=int, default=40)
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
 
@@ -73,7 +75,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # 1) output equivalence at collectable size
-    small = adversarial_events(spark, args.equiv_events).cache()
+    small = adversarial_events(spark, args.equiv_events, args.hot_pct).cache()
     a = sorted(tuple(r) for r in sessionize(small, gap_seconds=1800).collect())
     b = sorted(
         tuple(r)
@@ -90,7 +92,7 @@ def main() -> None:
     )
 
     # 2) timing at full size
-    events = adversarial_events(spark, args.events)
+    events = adversarial_events(spark, args.events, args.hot_pct)
     n = events.count()
     hot_share = events.filter(F.col("user_id") == "hot").count() / n
 
