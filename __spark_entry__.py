@@ -1555,6 +1555,20 @@ def q_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_context_windows(_transcripts(spark, sf_dir), "conv_id", "turn_idx", "text", 64)
 
 
+def q_pack_windows_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same stateful packing recurrence budgeted in SUBWORD tokens
+    (tokenizer='bpe' — greedy longest-match counts as a JVM column expr,
+    operators/text.py:bpe_token_count_col), vs the identical recursive-CTE
+    spec with the bpe count substituted. Attests the tokenizer-aware
+    packing path a production pipeline actually runs."""
+    from fsharp_data_validation_spark.operators.text import pack_context_windows
+
+    return pack_context_windows(
+        _transcripts(spark, sf_dir), "conv_id", "turn_idx", "text", 64,
+        tokenizer="bpe",
+    )
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repeated-line removal (CCNet-style), demonstrated on a
     line-per-word rendering of the docs corpus so duplicates exist
@@ -1714,6 +1728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "audio_meta": q_audio_meta,
         "dup_stats": q_dup_stats,
+        # --- r4-late additions (behind the window; rotate FIRST in r5,
+        #     together with sample_split) ---
+        "pack_windows_bpe": q_pack_windows_bpe,
     }
 
 
@@ -3009,6 +3026,30 @@ def oracle_sql() -> dict[str, str]:
         # independent spec of the greedy packing recurrence: row-at-a-time
         # recursive CTE (DuckDB-only; WITH RECURSIVE can't be composed via
         # with_transcripts, so the transcripts CTE is inlined)
+        "pack_windows_bpe": (
+            "WITH RECURSIVE transcripts AS ("
+            + transcripts_cte()
+            + "), t AS ("
+            "  SELECT conv_id, turn_idx, "
+            f"    {_bpe} AS n_tokens, "
+            "    ROW_NUMBER() OVER (PARTITION BY conv_id "
+            "                       ORDER BY turn_idx, coalesce(text, '')) AS rn "
+            "  FROM transcripts"
+            "), r AS ("
+            "  SELECT conv_id, rn, turn_idx, n_tokens, 1 AS chunk_id, "
+            "         n_tokens AS acc FROM t WHERE rn = 1 "
+            "  UNION ALL "
+            "  SELECT t.conv_id, t.rn, t.turn_idx, t.n_tokens, "
+            "    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > 64 "
+            "         THEN r.chunk_id + 1 ELSE r.chunk_id END, "
+            "    CASE WHEN r.acc > 0 AND r.acc + t.n_tokens > 64 "
+            "         THEN t.n_tokens ELSE r.acc + t.n_tokens END "
+            "  FROM r JOIN t ON t.conv_id = r.conv_id AND t.rn = r.rn + 1"
+            ") "
+            "SELECT conv_id, CAST(rn AS BIGINT) AS rn, turn_idx, "
+            "  CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "  CAST(chunk_id AS BIGINT) AS chunk_id FROM r"
+        ),
         "pack_windows": (
             "WITH RECURSIVE transcripts AS ("
             + transcripts_cte()

@@ -301,3 +301,108 @@ def sessionize_salted(
         F.max(ts_col).alias("session_end"),
         (_micros(F.max(ts_col)) - _micros(F.min(ts_col))).alias("duration_us"),
     )
+
+
+def asof_join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Optional[Sequence[str]] = None,
+    tie_col: Optional[str] = None,
+    suffix: str = "_asof",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """``asof_join`` for Zipf-hot keys: output-identical, but the
+    union-and-scan window runs over (key, time_bucket) instead of (key) —
+    the as-of sibling of ``sessionize_salted``, same reason: a hot key's
+    whole timeline must otherwise sort in ONE task.
+
+    Phase 1 — local as-of: both sides bucketed by
+    ``floor(ts / bucket_seconds)`` (time salt: preserves within-bucket
+    order, unlike a hash salt); the running ``last(payload, ignorenulls)``
+    window carries the latest right payload within each (key, bucket).
+
+    Phase 2 — cross-bucket carry on AGGREGATES: one row per (key, bucket)
+    (the bucket's LAST right payload, by the same (ts, tie) order) is
+    carried forward with a window over buckets — KB-scale per key however
+    hot it is. A left row whose bucket has no preceding right row reads the
+    carried payload instead (a right row in an earlier bucket always has a
+    strictly smaller timestamp, so correctness is positional, not a race).
+
+    Same selection rule as sessionize_salted: default ``asof_join`` for
+    bounded per-key cardinalities; this form when ``stats.skew_report``
+    flags a hot entity (crossover measured in BENCH.md for sessionize —
+    the window shape is identical).
+    """
+    right_cols = list(right_cols) if right_cols is not None else [
+        c for c in right.columns if c not in set(by) and c != right_ts
+    ]
+    tie_col = tie_col or right_cols[0]
+    by = list(by)
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_pay")
+    bucket = lambda c: F.floor(  # noqa: E731
+        _micros(c) / (bucket_seconds * 1_000_000)
+    ).cast("bigint")
+    r = right.select(
+        *by,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(tie_col).alias("_tie"),
+        payload,
+    )
+    l = left.select(  # noqa: E741
+        "*",
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tie"].dataType).alias("_tie"),
+        F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+    )
+    r_full = r
+    for c in left.columns:
+        if c not in r.columns:
+            r_full = r_full.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l.unionByName(r_full.select(*l.columns)).withColumn("_bk", bucket(F.col("_ts")))
+
+    wb = (
+        Window.partitionBy(*by, "_bk")
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn("_local_pay", F.last("_pay", ignorenulls=True).over(wb))
+
+    # per-(key, bucket) last right payload (same (ts, tie) order), then the
+    # forward carry across buckets — both on aggregate-scale tables
+    rr = r.withColumn("_bk", bucket(F.col("_ts")))
+    wlast = Window.partitionBy(*by, "_bk").orderBy(
+        F.desc("_ts"), F.desc("_tie")
+    )
+    bucket_last = (
+        rr.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(*by, "_bk", F.col("_pay").alias("_bucket_pay"))
+    )
+    all_buckets = u.select(*by, "_bk").distinct()
+    summary = all_buckets.join(bucket_last, by + ["_bk"], "left")
+    wcarry = (
+        Window.partitionBy(*by)
+        .orderBy("_bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = summary.select(
+        *by,
+        "_bk",
+        F.last("_bucket_pay", ignorenulls=True).over(wcarry).alias("_prev_pay"),
+    )
+
+    final_pay = F.coalesce(F.col("_local_pay"), F.col("_prev_pay"))
+    out = (
+        local.filter(F.col("_side") == 1)
+        .join(carried, by + ["_bk"])
+        .select(
+            *left.columns,
+            *[final_pay.getField(c).alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )
+    return out

@@ -114,12 +114,20 @@ def token_count_bpe(
     realized chars-per-token ratio (the calibration number pipelines use to
     sanity-check a token budget). One projection, zero shuffle."""
     n_ws = F.size(F.split(F.col(text_col), " ")).cast("bigint")
-    n_bpe = bpe_token_count_col(text_col)
-    return df.select(
+    # evaluate the regex ONCE: the alternation scan is the dominant cost and
+    # Catalyst does not CSE duplicate regexp_extract_all trees across a
+    # projection (measured 2x on the sf0.1 corpus)
+    staged = df.select(
         F.col(id_col),
         n_ws.alias("n_tokens"),
-        n_bpe.alias("n_bpe"),
-        F.round(F.length(text_col) / n_bpe, round_to).alias("chars_per_token"),
+        bpe_token_count_col(text_col).alias("n_bpe"),
+        F.length(text_col).alias("_nc"),
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "n_bpe",
+        F.round(F.col("_nc") / F.col("n_bpe"), round_to).alias("chars_per_token"),
     )
 
 

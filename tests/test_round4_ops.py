@@ -357,3 +357,45 @@ def test_sessionize_salted_equals_sessionize(spark):
             ).collect()
         )
         assert got == want, f"bucket_seconds={bucket_seconds}"
+
+
+def test_asof_join_salted_equals_asof_join(spark):
+    """Output parity of the hot-key-safe as-of (time-bucket split + carried
+    per-bucket last payload) against the plain union-and-scan window:
+    boundary timestamps, buckets with only-left or only-right rows, equal-ts
+    ties on both sides, keys missing from one side."""
+    import random
+    from datetime import datetime, timedelta
+
+    from fsharp_data_validation_spark.operators.temporal import (
+        asof_join,
+        asof_join_salted,
+    )
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for key, nl, nr in (("hot", 250, 120), ("warm", 40, 3), ("leftonly", 10, 0), ("rightonly", 0, 5)):
+        for i in range(nl):
+            # cluster around bucket boundaries (bucket_seconds=600 below)
+            t = rng.choice([rng.randrange(0, 40000), 600 * rng.randrange(0, 60)])
+            lrows.append((key, base + timedelta(seconds=t), i))
+        for i in range(nr):
+            t = rng.choice([rng.randrange(0, 40000), 600 * rng.randrange(0, 60)])
+            rrows.append((key, base + timedelta(seconds=t), 100 + i, f"p{key}{i}"))
+    # equal-ts tie: two right rows at the same instant (max tie wins)
+    rrows.append(("hot", base + timedelta(seconds=1200), 900, "tie_lo"))
+    rrows.append(("hot", base + timedelta(seconds=1200), 901, "tie_hi"))
+    left = spark.createDataFrame(lrows, "k string, ts timestamp, lid int")
+    right = spark.createDataFrame(rrows, "k string, ts timestamp, rid int, val string")
+
+    kw = dict(by=["k"], right_cols=["rid", "val"], tie_col="rid")
+    want = sorted(tuple(r) for r in asof_join(left, right, **kw).collect())
+    for bucket_seconds in (86400, 600, 37):
+        got = sorted(
+            tuple(r)
+            for r in asof_join_salted(
+                left, right, bucket_seconds=bucket_seconds, **kw
+            ).collect()
+        )
+        assert got == want, f"bucket_seconds={bucket_seconds}"
