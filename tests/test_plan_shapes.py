@@ -396,3 +396,25 @@ def test_vocab_growth_scans_once(spark, sf):
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert len(re.findall(r"Relation.*parquet", optimized)) <= 1
     spark.catalog.clearCache()
+
+
+def test_token_count_bpe_single_regex_no_exchange(spark, sf):
+    """token_count_bpe must evaluate the (expensive) alternation regex ONCE
+    per row and stay row-local: exactly one regexp_extract_all in the
+    physical plan (Catalyst does not CSE duplicate trees — the ratio column
+    must reuse the staged count, measured 2x at sf0.1) and no Exchange."""
+    import re
+
+    import __spark_entry__ as e
+
+    df = e.queries()["token_count_bpe"](spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # one regex per union branch of the docs source (row-local), and the
+    # chars_per_token projection must reuse the staged n_bpe attribute —
+    # never a second regexp_extract_all in the same projection
+    branches = len(re.findall(r"FileScan", plan))
+    assert len(re.findall(r"regexp_extract_all", plan)) == branches
+    for line in plan.splitlines():
+        if "chars_per_token" in line:
+            assert "regexp_extract_all" not in line
