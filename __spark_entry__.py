@@ -1569,6 +1569,35 @@ def q_pack_windows_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe as-of (operators/temporal.py:asof_join_salted) on the
+    same error<-latest-click shape as `asof_join`: output-identical by
+    construction, so it shares that query's correlated-subquery oracle. A
+    deliberately small bucket (1h) forces the cross-bucket carry path on
+    the real event timeline rather than degenerating to one bucket."""
+    from fsharp_data_validation_spark.operators.temporal import asof_join_salted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join_salted(
+        errors, clicks, by=["user_id"], right_cols=["event_id", "ts"],
+        tie_col="event_id", bucket_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        F.col("event_id_asof").alias("prev_click_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_asof").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repeated-line removal (CCNet-style), demonstrated on a
     line-per-word rendering of the docs corpus so duplicates exist
@@ -1731,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r4-late additions (behind the window; rotate FIRST in r5,
         #     together with sample_split) ---
         "pack_windows_bpe": q_pack_windows_bpe,
+        "asof_salted": q_asof_salted,
     }
 
 
@@ -2946,6 +2976,19 @@ def oracle_sql() -> dict[str, str]:
         # independent spec of the as-of semantics (correlated subquery — the
         # obviously-correct form, deliberately NOT the union/window shape the
         # Spark operator uses, so a shared bug can't hide)
+        # asof_salted is output-identical to asof_join (parity-fuzzed in
+        # tests/test_round4_ops.py); both share the correlated-subquery spec
+        "asof_salted": (
+            "SELECT l.event_id, "
+            "  (SELECT r.event_id FROM events r WHERE r.user_id = l.user_id "
+            "     AND r.event_type = 'click' AND r.ts <= l.ts "
+            "   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS prev_click_id, "
+            "  (SELECT date_diff('microsecond', r.ts, l.ts) FROM events r "
+            "   WHERE r.user_id = l.user_id AND r.event_type = 'click' "
+            "     AND r.ts <= l.ts "
+            "   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS gap_us "
+            "FROM events l WHERE l.event_type = 'error'"
+        ),
         "asof_join": (
             "SELECT l.event_id, "
             "  (SELECT r.event_id FROM events r WHERE r.user_id = l.user_id "

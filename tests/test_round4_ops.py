@@ -399,3 +399,38 @@ def test_asof_join_salted_equals_asof_join(spark):
             ).collect()
         )
         assert got == want, f"bucket_seconds={bucket_seconds}"
+
+
+def test_bpe_token_count_unicode_fuzz(spark):
+    """Seeded random-string fuzz (ASCII + latin-1 + CJK + astral + spaces +
+    regex metacharacters in the TEXT) against the python re spec of the
+    same pattern — one Spark job for all examples."""
+    import random
+    import re
+
+    from fsharp_data_validation_spark.operators.text import (
+        bpe_pattern,
+        bpe_token_count_col,
+    )
+
+    rng = random.Random(99)
+    alphabet = (
+        [chr(c) for c in range(32, 127)]
+        + list("éèñüßÆŒ中文日本語한국어")
+        + ["\U0001f600", "\U0001f4a9", " ", "\t"]
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(300)
+    ]
+    pat = re.compile(bpe_pattern())
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", bpe_token_count_col("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = len(pat.findall(t.lower()))
+        assert got[i] == want, (repr(t), got[i], want)
