@@ -1401,6 +1401,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
 
 
+def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe sessionize (operators/temporal.py:sessionize_salted)
+    on the same events/gap shape as `sessionize`: output-identical by
+    construction, so it shares that query's window-spec oracle. A 1h bucket
+    (< typical session span in this table) forces the cross-bucket boundary
+    merge on the real timeline."""
+    from fsharp_data_validation_spark.operators.temporal import sessionize_salted
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_salted(
+        ev, "user_id", "ts", "event_id", gap_seconds=1800, bucket_seconds=3600
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed as-of join: for every 'error' event, the latest 'click'
     by the same user at or before it (union-tag + running last(ignorenulls)
@@ -1757,10 +1771,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "audio_meta": q_audio_meta,
         "dup_stats": q_dup_stats,
-        # --- r4-late additions (behind the window; rotate FIRST in r5,
-        #     together with sample_split) ---
+        # --- r4-late additions, never driver-attested (behind the r4
+        #     window; in r5 these three + sample_split rotate FIRST) ---
         "pack_windows_bpe": q_pack_windows_bpe,
         "asof_salted": q_asof_salted,
+        "sessionize_salted": q_sessionize_salted,
     }
 
 
@@ -2999,6 +3014,31 @@ def oracle_sql() -> dict[str, str]:
             "     AND r.ts <= l.ts "
             "   ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) AS gap_us "
             "FROM events l WHERE l.event_type = 'error'"
+        ),
+        "sessionize_salted": (
+            """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), m AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM g
+            ), s AS (
+              SELECT user_id, ts,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+              FROM m
+            )
+            SELECT user_id, session_no, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+            FROM s GROUP BY user_id, session_no
+            """
         ),
         "sessionize": (
             """
