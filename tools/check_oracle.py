@@ -103,12 +103,13 @@ def main():
     from fsharp_data_validation_spark.cache import release_caches
 
     qs, os_ = e.queries(), e.oracle_sql()
-    failures = 0
+    failures = ok = skipped = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         if skip_quad and name in QUADRATIC_ORACLES:
             print(f"[skip-quad ] {name}: oracle quadratic at this scale")
+            skipped += 1
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -122,6 +123,7 @@ def main():
             release_caches(spark, sweep_rdds=True)
         if name not in os_:
             print(f"[rows-only] {name}: {len(srows)} rows (no oracle)")
+            ok += 1
             continue
         try:
             rel = con.sql(os_[name])
@@ -147,13 +149,15 @@ def main():
             print(f"[FAIL-count] {name}: spark={len(srows)} duck={len(orows)}")
             failures += 1
             continue
-        sk, ok = rows_key(srows, scols_l), rows_key(orows, ocols)
-        if sk != ok:
-            diffs = [(a, b) for a, b in zip(sk, ok) if a != b][:3]
+        skey, okey = rows_key(srows, scols_l), rows_key(orows, ocols)
+        if skey != okey:
+            diffs = [(a, b) for a, b in zip(skey, okey) if a != b][:3]
             print(f"[FAIL-vals ] {name}: first diffs {diffs}")
             failures += 1
             continue
         print(f"[OK        ] {name}: {len(srows)} rows match")
+        ok += 1
+    print(f"TOTAL: {ok} OK, {skipped} skipped, {failures} failed")
     spark.stop()
     sys.exit(1 if failures else 0)
 
