@@ -2028,7 +2028,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, "
             f"CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
             f"{_bpe} AS n_bpe, "
-            f"ROUND(length(text) * 1.0 / {_bpe}, 4) AS chars_per_token "
+            f"ROUND(length(text) * 1.0 / NULLIF({_bpe}, 0), 4) AS chars_per_token "
             f"FROM docs"
         ),
         "row_suite": _ROW_SUITE_ORACLE,

@@ -127,7 +127,12 @@ def token_count_bpe(
         id_col,
         "n_tokens",
         "n_bpe",
-        F.round(F.col("_nc") / F.col("n_bpe"), round_to).alias("chars_per_token"),
+        # NULLIF guard: empty text is 0/0 — Spark (non-ANSI) gives NULL but
+        # DuckDB's default ieee float ops give NaN; NULLIF on BOTH engines
+        # (oracle uses NULLIF too) pins the divergence to NULL everywhere
+        F.round(F.col("_nc") / F.nullif(F.col("n_bpe"), F.lit(0)), round_to).alias(
+            "chars_per_token"
+        ),
     )
 
 

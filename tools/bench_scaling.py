@@ -631,7 +631,7 @@ def main() -> None:
         f"counts -> vocab-keyed scoring joins) on the same synthetic corpus "
         f"({summary['turns']:,} docs, `tools/bench_scaling.py gen_docs`)",
         "ann": "similarity/ANN family forced concurrently (cross-corpus blocked "
-        "GEMM: train hashed into 8 blocks, eval side replicated per block, one "
+        "GEMM: train hashed into 256 blocks, eval side replicated per block, one "
         "float64 BLAS tile per group, threshold filter in the kernel; sign-LSH "
         "near-dup: Arrow-matmul 28-plane x 4-table sketch -> (table, bucket) "
         "self-join -> exact cosine verify of candidates only) on a deterministic "

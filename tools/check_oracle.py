@@ -27,6 +27,9 @@ QUADRATIC_ORACLES = {
     "contamination_pairs", "dedup_components", "dup_stats",
     "embedding_near_dup", "ann_topk", "ann_ivf", "ann_lsh",
     "embedding_contamination",
+    # ann_recall's oracle replays BOTH exact references via the same
+    # all-pairs exact-cosine CTE as embedding_near_dup — quadratic too
+    "ann_recall",
 }
 
 
