@@ -278,9 +278,29 @@ def curate_corpus(
     shuffle regardless of how many filters compose — the point of
     expressing curation as Column predicates instead of chained
     materialized stages."""
-    from pyspark.sql import Window
-
     from .sampling import hash_split
+
+    first = _curate_survivors(
+        df, id_col, text_col, lang_col, lang, min_tokens, max_tokens, min_alpha
+    )
+    return hash_split(first, id_col, train_pct).select(id_col, "split")
+
+
+def _curate_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    lang: str,
+    min_tokens: int,
+    max_tokens: int,
+    min_alpha: float,
+) -> DataFrame:
+    """Curation gates + exact-dedup keep-first, returning the surviving
+    FULL rows (shared by ``curate_corpus`` and ``curate_dedup_pack``).
+    Same plan as before the split: scan-stage filters + one digest
+    shuffle."""
+    from pyspark.sql import Window
 
     words = F.split(F.col(text_col), " ")
     n_tokens = F.size(words)
@@ -292,12 +312,86 @@ def curate_corpus(
         & (alpha_ratio >= min_alpha)
     )
     w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    first = (
+    return (
         kept.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    return hash_split(first, id_col, train_pct).select(id_col, "split")
+
+
+def curate_dedup_pack(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lang: str = "en",
+    min_tokens: int = 10,
+    max_tokens: int = 500,
+    min_alpha: float = 0.5,
+    train_pct: int = 90,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+    n_shards: int = 8,
+    budget: int = 2048,
+) -> DataFrame:
+    """The composed END-TO-END training-data pipeline as ONE lineage —
+    what a 100 TB user actually runs, and what per-stage benches miss
+    (stage-boundary cache pressure, AQE re-planning across the dedup join):
+
+    1. curate: language + token-length + alpha-ratio gates (scan-stage
+       predicates) + exact-dedup keep-first (one digest shuffle);
+    2. near-dup dedup: MinHash+banded-LSH candidate pairs with exact
+       Jaccard verify (``minhash_lsh_pairs``), then the greedy
+       keep-earliest policy — DROP every doc with a verified near-dup of
+       smaller id (one distinct + one left-anti join; this is the standard
+       "remove later duplicates" rule, NOT transitive-closure clustering —
+       a chain a~b~c with a<b<c keeps only a);
+    3. split + shard: deterministic md5 train/test split and an md5 shard
+       (``n_shards`` buckets) so the packing stage has corpus-wide
+       parallelism — at 100 TB you raise ``n_shards`` to O(cores), each
+       pack group stays independent;
+    4. pack: greedy context-window packing of surviving docs into chunks
+       of <= ``budget`` BPE tokens per (split, shard) group ordered by id
+       (``pack_context_windows(tokenizer="bpe")`` — token counts JVM-side,
+       one carried-state Arrow pass).
+
+    Returns (pack_group, doc_id, rn, n_bpe, chunk_id). The DuckDB oracle
+    replays all four stages: curate CTE, all-pairs exact-Jaccard drop set,
+    md5 split/shard, recursive-CTE packing recurrence.
+    """
+    from .dedup import md5_int, minhash_lsh_pairs
+    from .sampling import hash_split
+
+    survivors = _curate_survivors(
+        df, id_col, text_col, lang_col, lang, min_tokens, max_tokens, min_alpha
+    )
+    pairs = minhash_lsh_pairs(
+        survivors, id_col, text_col, n, num_hashes, bands, threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    kept = survivors.join(drop, id_col, "left_anti")
+    grouped = hash_split(kept, id_col, train_pct).withColumn(
+        "pack_group",
+        F.concat_ws(
+            "|",
+            F.col("split"),
+            (md5_int(F.col(id_col).cast("string"), salt="shard") % n_shards).cast(
+                "string"
+            ),
+        ),
+    )
+    packed = pack_context_windows(
+        grouped, "pack_group", id_col, text_col, budget, tokenizer="bpe"
+    )
+    return packed.select(
+        "pack_group",
+        F.col(id_col),
+        "rn",
+        F.col("n_tokens").alias("n_bpe"),
+        "chunk_id",
+    )
 
 
 def _pack_batch_loop(convs, ns, state, budget):

@@ -12,6 +12,49 @@ from __future__ import annotations
 import pytest
 
 
+def test_curate_dedup_pack_keep_earliest_chain(spark):
+    """The composed pipeline's near-dup policy is greedy KEEP-EARLIEST:
+    drop every doc with a verified near-dup of SMALLER id — including the
+    chain case a~b~c (a<b<c, a~b, b~c, a!~c) where b is itself dropped but
+    c must still be dropped because b<c. This is deliberately NOT
+    transitive-closure clustering (operators/text.py:curate_dedup_pack).
+    The premise Jaccards are asserted in-test so the fixture can't drift."""
+    from fsharp_data_validation_spark.operators.text import curate_dedup_pack
+
+    base = [f"tok{i}a" for i in range(30)]
+    a = " ".join(base)
+    b = " ".join(base + ["extraa", "extrab", "extrac", "extrad"])
+    c = " ".join(
+        base + ["extraa", "extrab", "extrac", "extrad", "extre", "extrf", "extrg", "extrh"]
+    )
+
+    def jac(x, y):
+        def sh(t):
+            w = t.split(" ")
+            return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+        sx, sy = sh(x), sh(y)
+        return len(sx & sy) / len(sx | sy)
+
+    assert jac(a, b) >= 0.8 and jac(b, c) >= 0.8 and jac(a, c) < 0.8
+
+    # unrelated doc survives; ids far apart so every md5 split/shard differs
+    d = " ".join(f"other{i}x" for i in range(25))
+    df = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en"), (3, c, "en"), (4, d, "en")],
+        "doc_id int, text string, lang string",
+    )
+    out = curate_dedup_pack(df, "doc_id", "text").collect()
+    kept_ids = sorted(r["doc_id"] for r in out)
+    assert kept_ids == [1, 4]  # b dropped (a<b), c dropped (b<c) despite b gone
+    by_id = {r["doc_id"]: r for r in out}
+    # each survivor packs alone here (distinct pack groups / small corpus):
+    # rn and chunk_id restart at 1 per group
+    for r in by_id.values():
+        assert r["rn"] == 1 and r["chunk_id"] == 1 and r["n_bpe"] > 0
+        assert r["pack_group"].split("|")[0] in ("train", "test")
+
+
 def test_token_count_bpe_empty_text_null_ratio(spark):
     """Empty/degenerate text is 0 BPE tokens -> chars_per_token must be NULL
     (not NaN, not a crash) on BOTH engines. Spark side: NULLIF guard in

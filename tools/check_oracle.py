@@ -30,6 +30,9 @@ QUADRATIC_ORACLES = {
     # ann_recall's oracle replays BOTH exact references via the same
     # all-pairs exact-cosine CTE as embedding_near_dup — quadratic too
     "ann_recall",
+    # pipeline_e2e's oracle derives its near-dup drop set from the same
+    # all-pairs exact-Jaccard join as ngram_jaccard
+    "pipeline_e2e",
 }
 
 
