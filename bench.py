@@ -30,6 +30,42 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+#: Quiet-box reference for the fixed-work CPU probe below (seconds for
+#: $SPARK_GRAFT_CPUS concurrent _burn(30M) processes, min-of-3, measured
+#: at cpus=32 on the calmest window observed in the r5 session: 2.62-2.97
+#: across 4 runs, best taken — see BENCH.md "Contention probe
+#: calibration"). The r4 driver session recorded 8 false >2x regressions
+#: that took a judge session to adjudicate as host contention; the record
+#: now carries its own calibration: probe > 1.2x this reference =>
+#: contended=true, and per-query numbers should be read as upper bounds.
+#: Calibrated FOR the driver contract's cpus=32; at lower $SPARK_GRAFT_CPUS
+#: the probe finishes faster, so the flag only gets more conservative
+#: (under-flags, never false-positives).
+PROBE_REF_SEC = 2.6
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def cpu_probe(procs: int, work: int = 30_000_000) -> float:
+    """Fixed-work CPU probe: wall seconds for ``procs`` concurrent burn
+    processes (the load shape the bench itself creates), min-of-3 after a
+    warm pass. Same kernel as tools/bench_scaling.py's cpu_ceiling."""
+    import multiprocessing as mp
+
+    def run() -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs) as p:
+            p.map(_burn, [work] * procs)
+        return time.perf_counter() - t0
+
+    run()  # warm pool/forks
+    return min(run() for _ in range(3))
+
 
 def force(df) -> None:
     """Fully evaluate a DataFrame on executors (no collect)."""
@@ -41,6 +77,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from fsharp_data_validation_spark.sources.session import get_spark
+
+    probe_pre = round(cpu_probe(int(cpus)), 3)
 
     spark = get_spark(master=f"local[{cpus}]", app="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,12 +96,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        # min of 2 passes per query: this shared VM's capacity can move
+        # min of 3 passes per query: this shared VM's capacity can move
         # several-fold mid-run (see BENCH.md), and the min is the least-
-        # interference estimate of the plan's cost
+        # interference estimate of the plan's cost (r4 post-mortem:
+        # min-of-2 was too few under contention — 8 false regressions)
         best = None
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 force(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
@@ -90,6 +129,17 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # post-run probe: contention can arrive mid-run, so calibrate on both
+    # sides and flag if EITHER side ran >1.2x the quiet-box reference
+    probe_post = round(cpu_probe(int(cpus)), 3)
+    contended = max(probe_pre, probe_post) > 1.2 * PROBE_REF_SEC
+    probe_fields = {
+        "probe_sec_pre": probe_pre,
+        "probe_sec_post": probe_post,
+        "probe_ref_sec": PROBE_REF_SEC,
+        "contended": contended,
+    }
+
     total = round(sum(t for t in timings.values() if t > 0), 2)
     metric = "validated turns/sec, full constraint suite (+ headline query wall times)"
     # Line 1: the full per-query record (compact: 2-decimal timings, no
@@ -110,6 +160,7 @@ def main() -> None:
                 "turns": n_turns,
                 "turns_per_sec": turns_per_sec,
                 "cpus": int(cpus),
+                **probe_fields,
             },
             separators=(",", ":"),
         )
@@ -125,6 +176,7 @@ def main() -> None:
                 "turns_per_sec": turns_per_sec,
                 "cpus": int(cpus),
                 "n_queries": len(timings),
+                **probe_fields,
             },
             separators=(",", ":"),
         )
