@@ -1325,8 +1325,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: documented recall floors for the approximate ANN configurations in
-#: q_ann_recall (attested per-round by the driver at sf0.01)
-ANN_RECALL_TARGETS = {"ivf": 0.6, "lsh": 0.6}
+#: q_ann_recall (attested per-round by the driver at sf0.01). ivf_kmeans
+#: is the TRAINED-quantizer path (ivf_topk's default KMeans fit) at
+#: n_probe=4 of n_cells=16 — no DuckDB oracle is possible (a KMeans fit
+#: isn't SQL-replayable; the sampled-centroid design exists precisely for
+#: that), so its floor is pinned by pytest instead
+#: (tests/test_round5_ops.py::test_ivf_kmeans_trained_quantizer_recall;
+#: measured 0.80 on the sf0.001 corpus, floor 0.7 with regeneration slack).
+ANN_RECALL_TARGETS = {"ivf": 0.6, "lsh": 0.6, "ivf_kmeans": 0.7}
 
 
 def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

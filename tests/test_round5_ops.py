@@ -55,6 +55,42 @@ def test_curate_dedup_pack_keep_earliest_chain(spark):
         assert r["pack_group"].split("|")[0] in ("train", "test")
 
 
+def test_ivf_kmeans_trained_quantizer_recall(spark):
+    """Recall gate for the TRAINED-quantizer IVF path (r4 verdict task #3):
+    ``ivf_topk``'s default seeded-KMeans fit at n_probe=4 < n_cells=16 —
+    the configuration a user with MLlib actually runs at scale. The
+    SQL-replayable sampled-centroid variant is oracle-attested by
+    ann_recall; the KMeans fit has no DuckDB oracle (not SQL-replayable),
+    so this pytest recall gate is the strongest available check. Floor
+    0.7 (measured 0.80 on the sf0.001 corpus; the trained quantizer must
+    also clear the sampled-centroid path's 0.6 target)."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import ANN_RECALL_TARGETS
+    from fsharp_data_validation_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        recall_report,
+    )
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    floor = ANN_RECALL_TARGETS["ivf_kmeans"]
+    assert floor >= ANN_RECALL_TARGETS["ivf"]
+    vecs = load_vecs(spark, "/root/testdata/sf0.001")
+    qs = vecs.filter(F.col("vec_id") % 50 == 0)
+    ivf = ivf_topk(vecs, qs, k=5, n_cells=16, n_probe=4)  # default KMeans fit
+    exact = brute_force_topk(vecs, qs, k=5)
+    rep = recall_report(
+        ivf, exact, ["query_id", "neighbor_id"], "ivf_kmeans", floor
+    ).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_expected"] > 0
+    # genuinely approximate at 4/16 probing (not full-probe exactness) AND
+    # above the documented floor
+    assert r["ok"] and r["recall"] >= floor, (r["recall"], floor)
+
+
 def test_token_count_bpe_empty_text_null_ratio(spark):
     """Empty/degenerate text is 0 BPE tokens -> chars_per_token must be NULL
     (not NaN, not a crash) on BOTH engines. Spark side: NULLIF guard in
