@@ -331,10 +331,16 @@ def asof_join_salted(
     carried payload instead (a right row in an earlier bucket always has a
     strictly smaller timestamp, so correctness is positional, not a race).
 
-    Same selection rule as sessionize_salted: default ``asof_join`` for
-    bounded per-key cardinalities; this form when ``stats.skew_report``
-    flags a hot entity (crossover measured in BENCH.md for sessionize —
-    the window shape is identical).
+    Selection rule (crossover measured DIRECTLY in BENCH.md r5, 20M events
+    with a 60%-hot key): the plain window is core-count-insensitive
+    (15.6 s at local[8] -> 17.9 s at local[32] — one task sorts the hot
+    timeline either way) and stays AHEAD of this form at both levels
+    (salted ~22 s flat; 0.71x/0.82x) because the per-(key,bucket) payload
+    carry is a heavier constant than sessionize's boundary merge. So:
+    default ``asof_join`` until ``stats.skew_report`` flags a key whose
+    timeline exceeds one task's sort capacity (memory, or multi-minute
+    stragglers); past that this form is the only executable plan — a
+    10^12-row key cannot single-task sort at any core count.
     """
     right_cols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in set(by) and c != right_ts
