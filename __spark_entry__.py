@@ -1652,6 +1652,39 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(load_docs(spark, sf_dir), "doc_id", "text")
 
 
+_STREAM_SUITE_RUNS = iter(range(1, 10_000))
+
+
+def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING surface's first oracle-attested query: the stateless
+    suite driven through a real file stream (readStream + availableNow,
+    maxFilesPerTrigger=2 over 8 source files -> multiple genuine
+    micro-batches) into a memory sink
+    (streaming/validate_stream.py:run_suite_available_now). The suite
+    compiles to stateless column expressions, so the concatenated
+    micro-batch outputs must hash-equal the batch row_suite — this query
+    therefore shares row_suite's DuckDB oracle, turning the streaming
+    path's batch-equivalence claim (previously pytest-only) into a
+    driver-checked row."""
+    import tempfile
+
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        run_suite_available_now,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    mem_table = f"stream_suite_v{next(_STREAM_SUITE_RUNS)}"
+    out = run_suite_available_now(
+        spark,
+        t,
+        transcript_row_suite(),
+        KEY,
+        tempfile.mkdtemp(prefix="stream_suite_"),
+        mem_table,
+    )
+    return out.select("conv_id", "turn_idx", "ts", "path", "code")
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed END-TO-END pipeline as ONE lineage: curate gates +
     exact-dedup keep-first -> MinHash-LSH near-dup keep-earliest drop ->
@@ -1687,14 +1720,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # divisor guard in r5) and corpus_curate (r4-attested; its operator was
     # refactored into _curate_survivors in r5), then the r3-attested
     # entries whose operator files r4 touched (similarity/text/crossrow/
-    # checks/multimodal), then the rest of the r3 block. SIX r3-attested
-    # entries spill past the window to r6 — simhash, quota_sample,
-    # global_shuffle, schema_report, temp_sample, upsample — chosen as the
-    # lowest-risk: row-local hash predicates / O(columns) metadata /
-    # dedup.py untouched since r3, all re-verified in this session's full
-    # local sf0.01 sweep. The 48 r4-attested entries close the dict.
+    # checks/multimodal), then the rest of the r3 block. SEVEN r3-attested
+    # entries spill past the window to r6 — minhash_lsh, simhash,
+    # quota_sample, global_shuffle, schema_report, temp_sample, upsample —
+    # chosen as the lowest-risk: row-local hash predicates / O(columns)
+    # metadata / dedup.py untouched since r3, all re-verified in this
+    # session's full local sf0.01 sweep (and minhash_lsh's construction is
+    # additionally exercised INSIDE the window by pipeline_e2e's dedup
+    # stage). The 48 r4-attested entries close the dict.
     return {
         # --- never driver-checked ---
+        "stream_suite": q_stream_suite,
         "pipeline_e2e": q_pipeline_e2e,
         "sessionize_salted": q_sessionize_salted,
         "asof_salted": q_asof_salted,
@@ -1747,9 +1783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_examples": q_violation_examples,
         "skew_report": q_skew_report,
         "dup_stats": q_dup_stats,
-        "minhash_lsh": q_minhash_lsh,
         # ^-- position 50 ends here
         # --- r3-attested, spilled past the window to r6 (lowest-risk) ---
+        "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "quota_sample": q_quota_sample,
         "global_shuffle": q_global_shuffle,
@@ -2061,6 +2097,9 @@ def oracle_sql() -> dict[str, str]:
             f"FROM docs"
         ),
         "row_suite": _ROW_SUITE_ORACLE,
+        # the streaming path must concatenate micro-batches to EXACTLY the
+        # batch answer (stateless suite), so it shares row_suite's oracle
+        "stream_suite": _ROW_SUITE_ORACLE,
         "violation_examples": _EXAMPLES_ORACLE,
         "skew_report": with_transcripts(
             """

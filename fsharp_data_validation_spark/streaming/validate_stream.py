@@ -178,6 +178,57 @@ def run_stream_to_parquet(
     return q
 
 
+def run_suite_available_now(
+    spark,
+    batch_df: DataFrame,
+    suite: Suite,
+    key_cols: Sequence[str],
+    work_dir: str,
+    mem_table: str,
+    n_files: int = 8,
+    max_files_per_trigger: int = 2,
+    timeout_sec: int = 600,
+) -> DataFrame:
+    """Drive the stateless suite through a REAL file stream end-to-end and
+    return the violations as a batch DataFrame — the batch-equivalence
+    attestation path for the streaming surface (driver query
+    ``stream_suite``: its output must hash-equal the batch ``row_suite``,
+    so it shares that query's DuckDB oracle).
+
+    Shape: ``batch_df`` is materialized to ``work_dir/src`` as ``n_files``
+    parquet files; ``readStream`` + ``availableNow`` with
+    ``maxFilesPerTrigger`` then processes them in MULTIPLE micro-batches
+    (genuinely incremental — not one batch wearing a streaming hat), the
+    stateless suite violations stream appends into a memory sink, and the
+    sink table is returned once the query terminates. The suite compiles to
+    stateless column expressions, so no state store is involved and
+    per-micro-batch results concatenate to exactly the batch answer.
+
+    ``mem_table`` must be fresh per invocation (memory sinks accumulate per
+    query name); callers pass a counter-suffixed name."""
+    src = f"{work_dir}/src"
+    batch_df.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src)
+    )
+    _, violations = validate_stream(stream, suite, key_cols)
+    q = (
+        violations.writeStream.format("memory")
+        .queryName(mem_table)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work_dir}/ckpt_{mem_table}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:  # defensive: never leave a stuck query behind
+        q.stop()
+        raise TimeoutError(f"stream_suite did not drain in {timeout_sec}s")
+    return spark.table(mem_table)
+
+
 def stream_dedup(
     stream_df: DataFrame,
     id_cols: Sequence[str],
