@@ -324,6 +324,52 @@ def run_curate(cores: int, iters: int = 3) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def run_pipeline(cores: int, iters: int = 3) -> dict:
+    """END-TO-END composed pipeline (curate gates -> exact keep-first ->
+    MinHash-LSH keep-earliest drop -> md5 split/shard -> BPE-budget
+    packing) at local[cores] on the synthetic corpus — ONE lineage, the
+    composition a 100 TB user actually submits (`pipeline_e2e`'s operator).
+    ``n_shards=64`` so the stateful packing stage's pack-group count never
+    bounds parallelism at either level (the documented scale knob);
+    ``min_alpha=0`` because the synthetic vocabulary is digit-heavy."""
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.operators.text import curate_dedup_pack
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_pipeline_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS_DIR).withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 20 == 0, F.lit("es")).otherwise(F.lit("en")),
+    )
+    n = docs.count()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        out = curate_dedup_pack(
+            docs, "doc_id", "text", min_alpha=0.0, n_shards=64
+        )
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        release_caches(spark, sweep_rdds=True)  # LSH stage persists sets/buckets
+        return dt
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
+
+
 def run_pack(cores: int, iters: int = 3) -> dict:
     """Greedy context-window packing (the custom stateful Arrow op) at
     local[cores] on the synthetic transcript table — evidences that the
@@ -527,7 +573,7 @@ def main() -> None:
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--vecs", type=int, default=1_000_000)
-    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann"], default="suite")
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann", "pipeline"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     ap.add_argument(
         "--taskset",
@@ -543,11 +589,12 @@ def main() -> None:
 
     if args.run:
         fn = {"dedup": run_dedup, "curate": run_curate, "pack": run_pack,
-              "suite": run_suite, "textstats": run_textstats, "ann": run_ann}[args.mode]
+              "suite": run_suite, "textstats": run_textstats, "ann": run_ann,
+              "pipeline": run_pipeline}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
-    if args.mode in ("dedup", "curate", "textstats"):
+    if args.mode in ("dedup", "curate", "textstats", "pipeline"):
         if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
             print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
             gen_docs(args.docs)
@@ -587,6 +634,7 @@ def main() -> None:
         "curate": "curated docs/sec, composed curation pipeline",
         "pack": "packed turns/sec, stateful context-window packing (mapInPandas)",
         "suite": "validated turns/sec, full constraint suite",
+        "pipeline": "packed docs/sec, END-TO-END composed pipeline (curate -> LSH dedup -> split/shard -> BPE pack)",
         "textstats": "analyzed docs/sec, text-analytics family (top-ngram + Zipf + PMI)",
         "ann": "searched vectors/sec, similarity family (blocked-GEMM cross-corpus + sign-LSH near-dup)",
     }[args.mode]
@@ -619,6 +667,13 @@ def main() -> None:
         "pack": "greedy context-window packing (JVM-side token counts -> hash "
         "repartition by conv_id -> sorted mapInPandas with cross-batch carried "
         f"state) on the synthetic transcript table ({summary['turns']:,} turns)",
+        "pipeline": "END-TO-END composed training-data pipeline as ONE lineage "
+        "(lang+length gates in the scan stage -> exact-dedup keep-first window -> "
+        "MinHash(32)+16x2-band LSH with exact-Jaccard verify -> keep-earliest "
+        "left-anti drop -> md5 split + 64-way md5 shard -> greedy BPE-budget "
+        f"packing via carried-state mapInPandas) on the same synthetic corpus "
+        f"({summary['turns']:,} docs with planted near-dups, "
+        "`tools/bench_scaling.py gen_docs`)",
         "suite": "full constraint suite (row refute/dispute suite -> violations+valid, "
         "uniqueness, referential broadcast anti-join, ordering window, column profile "
         f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
@@ -639,6 +694,7 @@ def main() -> None:
         "planted near-dups at cosine ~0.999, `tools/bench_scaling.py gen_vecs`)",
     }[args.mode]
     unit = ("validated turns/sec" if args.mode == "suite"
+            else "packed docs/sec" if args.mode == "pipeline"
             else "turns/sec" if args.mode == "pack"
             else "vectors/sec" if args.mode == "ann" else "docs/sec")
     pin_note = (
