@@ -654,6 +654,36 @@ def q_dataset_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_checks(t, checks)
 
 
+def q_suggest_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint SUGGESTION (operators/checks.py:
+    suggest_constraints): profile the transcripts table in one aggregation
+    pass and emit the check suite a maintainer should assert — the
+    discovery inverse of ``dataset_checks``, and the dataset-granularity
+    analogue of asking which of the reference's validators
+    (Library.fs:8-121) currently hold on the data."""
+    from fsharp_data_validation_spark.operators.checks import suggest_constraints
+
+    return suggest_constraints(
+        _transcripts(spark, sf_dir),
+        string_cols=["conv_id", "role", "text", "tool"],
+        numeric_cols=["turn_idx"],
+        max_domain=10,
+    )
+
+
+def q_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-chart anomaly detection on the daily suite-violation-rate
+    series (operators/checks.py:rate_anomaly): each day scored against the
+    trailing 7 days' mean ± z·stddev with the day excluded from its own
+    baseline — the Deequ AnomalyDetection lift of ``rolling_rate``'s
+    monitoring series."""
+    from fsharp_data_validation_spark.operators.checks import rate_anomaly
+
+    t = _transcripts(spark, sf_dir)
+    anyf = transcript_row_suite().any_failure_column()
+    return rate_anomaly(t, F.to_date("ts"), anyf, window=7, z_threshold=2.0)
+
+
 def q_context_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window budget validation: turns whose running conversation
     token total exceeds the budget (operators/crossrow.py:
@@ -1714,22 +1744,26 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's correctness sweep attests the FIRST 50
     # entries. Round-5 rotation (r4 verdict task #1): the never-attested
-    # entries lead — pipeline_e2e (r5-new), the three r4-late additions,
-    # sample_split (spilled to position 51 last round) — then
-    # token_count_bpe (r4-attested but its operator gained the NULLIF
-    # divisor guard in r5) and corpus_curate (r4-attested; its operator was
-    # refactored into _curate_survivors in r5), then the r3-attested
-    # entries whose operator files r4 touched (similarity/text/crossrow/
-    # checks/multimodal), then the rest of the r3 block. SEVEN r3-attested
-    # entries spill past the window to r6 — minhash_lsh, simhash,
+    # entries lead — suggest_constraints/rate_anomaly/stream_suite/
+    # pipeline_e2e (r5-new), the three r4-late additions, sample_split
+    # (spilled to position 51 last round) — then token_count_bpe
+    # (r4-attested but its operator gained the NULLIF divisor guard in r5)
+    # and corpus_curate (r4-attested; its operator was refactored into
+    # _curate_survivors in r5), then the r3-attested entries whose operator
+    # files r4 touched (similarity/text/crossrow/checks/multimodal), then
+    # the rest of the r3 block. NINE r3-attested entries spill past the
+    # window to r6 — skew_report, dup_stats, minhash_lsh, simhash,
     # quota_sample, global_shuffle, schema_report, temp_sample, upsample —
     # chosen as the lowest-risk: row-local hash predicates / O(columns)
-    # metadata / dedup.py untouched since r3, all re-verified in this
-    # session's full local sf0.01 sweep (and minhash_lsh's construction is
-    # additionally exercised INSIDE the window by pipeline_e2e's dedup
-    # stage). The 48 r4-attested entries close the dict.
+    # metadata / dedup.py+stats.py untouched since r3, all re-verified in
+    # this session's full local sf0.01 sweep (and minhash_lsh's
+    # construction is additionally exercised INSIDE the window by
+    # pipeline_e2e's dedup stage). The 48 r4-attested entries close the
+    # dict.
     return {
         # --- never driver-checked ---
+        "suggest_constraints": q_suggest_constraints,
+        "rate_anomaly": q_rate_anomaly,
         "stream_suite": q_stream_suite,
         "pipeline_e2e": q_pipeline_e2e,
         "sessionize_salted": q_sessionize_salted,
@@ -2076,6 +2110,73 @@ _COSINE_SQL = (
 )
 
 
+def _suggest_oracle(
+    string_cols: list[str], numeric_cols: list[str], max_domain: int = 10
+) -> str:
+    """Spec form of operators/checks.py:suggest_constraints over the
+    transcripts table: ONE profile aggregate + a sorted-domain aggregate,
+    then one UNION ALL arm per (column, suggestion-kind) with the same
+    emission guards the operator applies (the oracle computes every string
+    column's domain unconditionally — spec-form latitude — but only emits
+    it under the same ``0 < distinct <= max_domain`` guard)."""
+    cols = string_cols + numeric_cols
+    prof = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for c in cols:
+        prof += [
+            f"COUNT({c}) AS nn_{c}",
+            f"COUNT(DISTINCT {c}) AS d_{c}",
+            f"ROUND(AVG(CASE WHEN {c} IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS comp_{c}",
+            f"FLOOR(AVG(CASE WHEN {c} IS NOT NULL THEN 1.0 ELSE 0.0 END) * 100) / 100.0 AS floor_{c}",
+        ]
+    for c in string_cols:
+        prof.append(f"CAST(MAX(length({c})) AS DOUBLE) AS maxlen_{c}")
+    for c in numeric_cols:
+        prof.append(f"ROUND(CAST(MIN({c}) AS DOUBLE), 4) AS lo_{c}")
+        prof.append(f"ROUND(CAST(MAX({c}) AS DOUBLE), 4) AS hi_{c}")
+    dom = [
+        f"string_agg(DISTINCT {c}, '|' ORDER BY {c}) AS dom_{c}"
+        for c in string_cols
+    ]
+    nul_s, nul_d = "CAST(NULL AS VARCHAR)", "CAST(NULL AS DOUBLE)"
+    arms = []
+    for c in cols:
+        arms.append(
+            f"SELECT '{c}' AS \"column\", 'not_null' AS kind, {nul_s} AS value_str, "
+            f"{nul_d} AS lo, {nul_d} AS hi, CAST(1.0 AS DOUBLE) AS support "
+            f"FROM prof WHERE n > 0 AND nn_{c} = n"
+        )
+        arms.append(
+            f"SELECT '{c}', 'completeness', {nul_s}, CAST(floor_{c} AS DOUBLE), "
+            f"{nul_d}, CAST(comp_{c} AS DOUBLE) "
+            f"FROM prof WHERE NOT (n > 0 AND nn_{c} = n) AND nn_{c} > 0"
+        )
+        arms.append(
+            f"SELECT '{c}', 'unique', {nul_s}, {nul_d}, {nul_d}, CAST(1.0 AS DOUBLE) "
+            f"FROM prof WHERE n > 0 AND d_{c} = nn_{c} AND nn_{c} = n"
+        )
+    for c in string_cols:
+        arms.append(
+            f"SELECT '{c}', 'domain', (SELECT dom_{c} FROM dom), {nul_d}, {nul_d}, "
+            f"CAST(comp_{c} AS DOUBLE) FROM prof WHERE d_{c} > 0 AND d_{c} <= {max_domain}"
+        )
+    for c in numeric_cols:
+        arms.append(
+            f"SELECT '{c}', 'range', {nul_s}, CAST(lo_{c} AS DOUBLE), "
+            f"CAST(hi_{c} AS DOUBLE), CAST(comp_{c} AS DOUBLE) "
+            f"FROM prof WHERE nn_{c} > 0"
+        )
+    for c in string_cols:
+        arms.append(
+            f"SELECT '{c}', 'max_length', {nul_s}, {nul_d}, CAST(maxlen_{c} AS DOUBLE), "
+            f"CAST(comp_{c} AS DOUBLE) FROM prof WHERE nn_{c} > 0"
+        )
+    return with_transcripts(
+        ", prof AS (SELECT " + ", ".join(prof) + " FROM transcripts),\n"
+        "dom AS (SELECT " + ", ".join(dom) + " FROM transcripts)\n"
+        + "\nUNION ALL\n".join(arms)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from fsharp_data_validation_spark.operators.text import bpe_oracle_expr
 
@@ -2100,6 +2201,40 @@ def oracle_sql() -> dict[str, str]:
         # the streaming path must concatenate micro-batches to EXACTLY the
         # batch answer (stateless suite), so it shares row_suite's oracle
         "stream_suite": _ROW_SUITE_ORACLE,
+        "suggest_constraints": _suggest_oracle(
+            ["conv_id", "role", "text", "tool"], ["turn_idx"], max_domain=10
+        ),
+        "rate_anomaly": with_transcripts(
+            f"""
+            , d AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN ({_NF_EXPR}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+              FROM transcripts GROUP BY 1
+            ),
+            r AS (
+              SELECT day, n_rows, n_viol,
+                     CAST(ROUND(n_viol * 1.0 / n_rows, 6) AS DOUBLE) AS rate
+              FROM d
+            ),
+            wnd AS (
+              SELECT day, n_rows, n_viol, rate,
+                     ROUND(AVG(rate) OVER w, 6) AS m,
+                     ROUND(STDDEV_POP(rate) OVER w, 6) AS s,
+                     COUNT(rate) OVER w AS hist
+              FROM r
+              WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT day, n_rows, n_viol, rate,
+                   m AS mean_rate,
+                   s AS sd_rate,
+                   ROUND(CASE WHEN s > 0 THEN (rate - m) / s END, 4) AS z,
+                   (hist >= 3 AND COALESCE(
+                      CASE WHEN s > 0 THEN ABS(ROUND((rate - m) / s, 4)) > 2.0
+                           ELSE rate <> m END, FALSE)) AS anomaly
+            FROM wnd
+            """
+        ),
         "violation_examples": _EXAMPLES_ORACLE,
         "skew_report": with_transcripts(
             """

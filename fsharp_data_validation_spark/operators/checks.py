@@ -164,6 +164,191 @@ def fd_violations(
     return res
 
 
+def suggest_constraints(
+    df: DataFrame,
+    string_cols: Sequence[str] = (),
+    numeric_cols: Sequence[str] = (),
+    max_domain: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Profile-driven constraint SUGGESTION (the Deequ ConstraintSuggestion
+    architecture: Schelter et al., VLDB 2018) — the discovery complement of
+    ``dataset_checks``: instead of asserting a hand-written suite, profile
+    the table once and emit the suite a maintainer should assert. The
+    dataset-granularity analogue of handing the reference's validator
+    library (Library.fs:8-121 — isRequired/minLength/hasElem/comparison
+    gates) a table and asking WHICH validators currently hold.
+
+    Two passes, both scale-sane:
+
+    1. ONE aggregation over only the referenced columns — per column:
+       non-null count, exact distinct count (swap ``F.countDistinct`` for
+       ``approx_count_distinct`` at 10^12 rows; exact is kept here so the
+       DuckDB oracle replays it bit-for-bit), rounded completeness, the
+       2-decimal FLOORED completeness (the suggested threshold — floored so
+       the suggested assertion is guaranteed to pass on the profiled data),
+       max length (string) / rounded min+max (numeric). Map-side partial
+       agg + one-row reduce.
+    2. The collected one-row profile (a control-plane O(#columns) scalar
+       read, same pattern as the dedup convergence witnesses) decides which
+       string columns are low-cardinality (0 < distinct <= ``max_domain``);
+       ONE more aggregation collects the sorted pipe-joined value domain for
+       just those columns — bounded at ``max_domain`` values per column, so
+       the second pass is safe at any scale (it never runs for high-
+       cardinality columns).
+
+    All doubles in the output come from engine-side ``F.round``/``F.floor``
+    (HALF_UP, matching DuckDB's ROUND) — the Python layer only compares
+    exact integers, so no Python-rounding-mode divergence can enter.
+
+    Emitted suggestion kinds (one output row each, per column where the
+    guard holds):
+
+    - ``not_null``    — no NULLs observed             (support 1.0)
+    - ``completeness``— some NULLs: ``lo`` = floored completeness threshold
+    - ``unique``      — distinct == non-null == rows  (support 1.0)
+    - ``domain``      — ``value_str`` = sorted ``|``-joined value set
+    - ``range``       — ``lo``/``hi`` = observed numeric min/max
+    - ``max_length``  — ``hi`` = observed max string length
+
+    Returns (column, kind, value_str, lo, hi, support); O(#columns) rows at
+    any data scale."""
+    string_cols = list(string_cols)
+    numeric_cols = list(numeric_cols)
+    cols = string_cols + numeric_cols
+    if not cols:
+        raise ValueError("suggest_constraints needs at least one column")
+    if len(set(cols)) != len(cols):
+        raise ValueError("columns must be unique across string/numeric lists")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        notnull = F.col(c).isNotNull()
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"d_{c}"),
+            F.round(F.avg(notnull.cast("double")), round_to).alias(f"comp_{c}"),
+            (F.floor(F.avg(notnull.cast("double")) * 100) / 100.0).alias(
+                f"floor_{c}"
+            ),
+        ]
+    for c in string_cols:
+        aggs.append(
+            F.max(F.length(F.col(c))).cast("double").alias(f"maxlen_{c}")
+        )
+    for c in numeric_cols:
+        aggs += [
+            F.round(F.min(F.col(c)).cast("double"), round_to).alias(f"lo_{c}"),
+            F.round(F.max(F.col(c)).cast("double"), round_to).alias(f"hi_{c}"),
+        ]
+    prof = df.agg(*aggs).collect()[0].asDict()
+
+    n = prof["n_rows"]
+    domain_cols = [
+        c for c in string_cols if 0 < prof[f"d_{c}"] <= max_domain
+    ]
+    domains: dict[str, str] = {}
+    if domain_cols:
+        drow = df.agg(
+            *[
+                F.array_join(
+                    F.sort_array(F.collect_set(F.col(c))), "|"
+                ).alias(c)
+                for c in domain_cols
+            ]
+        ).collect()[0]
+        domains = {c: drow[c] for c in domain_cols}
+
+    rows = []
+    for c in cols:
+        nn, d = prof[f"nn_{c}"], prof[f"d_{c}"]
+        comp = prof[f"comp_{c}"]
+        if n > 0 and nn == n:
+            rows.append((c, "not_null", None, None, None, 1.0))
+        elif nn > 0:
+            rows.append((c, "completeness", None, prof[f"floor_{c}"], None, comp))
+        if n > 0 and d == nn and nn == n:
+            rows.append((c, "unique", None, None, None, 1.0))
+        if c in domains:
+            rows.append((c, "domain", domains[c], None, None, comp))
+        if c in numeric_cols and nn > 0:
+            rows.append((c, "range", None, prof[f"lo_{c}"], prof[f"hi_{c}"], comp))
+        if c in string_cols and nn > 0:
+            rows.append((c, "max_length", None, None, prof[f"maxlen_{c}"], comp))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "column string, kind string, value_str string, lo double, hi double, "
+        "support double",
+    )
+
+
+def rate_anomaly(
+    df: DataFrame,
+    day_col: Column,
+    fail_col: Column,
+    window: int = 7,
+    z_threshold: float = 3.0,
+    min_history: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Control-chart anomaly detection on the daily violation-rate series —
+    the Deequ AnomalyDetection architecture (Schelter et al., VLDB 2018)
+    over the monitoring time series ``rolling_rate`` already reports: each
+    day's suite violation rate is scored against the trailing ``window``
+    days' mean ± z·stddev (the current day EXCLUDED from its own baseline,
+    so a spike can't mask itself).
+
+    One hash aggregate over the data (map-side combined, one row per day),
+    then lag windows over the KB-scale daily table — at 10^12 turns the
+    windowed stage still touches ~#days rows. The rate entering the
+    mean/stddev baseline is the ROUNDED rate, so both engines aggregate
+    bit-identical inputs — and the baseline mean/sd are themselves ROUNDED
+    at ``round_to`` BEFORE the z/anomaly branch. This is load-bearing twice:
+    (a) ``stddev_pop`` over identical rounded rates returns ~1e-17 float
+    noise (the mean is inexact), and branching on the RAW sd would divide
+    by that noise and flag every steady day; (b) it makes every published
+    column recomputable from the report (z = (rate - mean_rate)/sd_rate)
+    and the whole row a pure function of 6-decimal doubles, so Spark and
+    the DuckDB oracle agree bit-for-bit.
+
+    A day is ``anomaly`` when it has >= ``min_history`` trailing days AND
+    either |z| > ``z_threshold`` (sd > 0) or the rate moved off a constant
+    baseline (sd == 0, where z is undefined and emitted NULL).
+
+    Returns (day, n_rows, n_viol, rate, mean_rate, sd_rate, z, anomaly)."""
+    from pyspark.sql import Window
+
+    daily = df.groupBy(day_col.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(fail_col.cast("long")).alias("n_viol"),
+    )
+    rated = daily.withColumn(
+        "rate", F.round(F.col("n_viol") / F.col("n_rows"), round_to)
+    )
+    w = Window.orderBy("day").rowsBetween(-window, -1)
+    mean = F.round(F.avg("rate").over(w), round_to)
+    sd = F.round(F.stddev_pop("rate").over(w), round_to)
+    hist = F.count("rate").over(w)
+    z = F.when(sd > 0, F.round((F.col("rate") - mean) / sd, 4))
+    return rated.select(
+        "day",
+        "n_rows",
+        "n_viol",
+        "rate",
+        mean.alias("mean_rate"),
+        sd.alias("sd_rate"),
+        z.alias("z"),
+        (
+            (hist >= min_history)
+            & F.coalesce(
+                F.when(sd > 0, F.abs(z) > z_threshold).otherwise(
+                    F.col("rate") != mean
+                ),
+                F.lit(False),
+            )
+        ).alias("anomaly"),
+    )
+
+
 #: Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9.
 _BENFORD = [0.0] + [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
 
