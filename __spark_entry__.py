@@ -432,6 +432,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(load_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (operators/dedup.py:
+    span_dedup): every 8-token span occurring more than once corpus-wide is
+    spliced out of all but its lexicographically-first (doc_id, start)
+    occurrence — the span-granularity complement of the doc-level dedup
+    family (Lee et al. 2022). gram_len=8 at the oracle scale so the
+    injected near-dup/exact-copy docs genuinely exercise the splice."""
+    from fsharp_data_validation_spark.operators.dedup import span_dedup
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return span_dedup(load_docs(spark, sf_dir), "doc_id", "text", gram_len=8)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
     from fsharp_data_validation_spark.operators.dedup import ngram_jaccard_pairs
@@ -1751,19 +1764,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and corpus_curate (r4-attested; its operator was refactored into
     # _curate_survivors in r5), then the r3-attested entries whose operator
     # files r4 touched (similarity/text/crossrow/checks/multimodal), then
-    # the rest of the r3 block. NINE r3-attested entries spill past the
-    # window to r6 — skew_report, dup_stats, minhash_lsh, simhash,
-    # quota_sample, global_shuffle, schema_report, temp_sample, upsample —
-    # chosen as the lowest-risk: row-local hash predicates / O(columns)
-    # metadata / dedup.py+stats.py untouched since r3, all re-verified in
-    # this session's full local sf0.01 sweep (and minhash_lsh's
-    # construction is additionally exercised INSIDE the window by
-    # pipeline_e2e's dedup stage). The 48 r4-attested entries close the
-    # dict.
+    # the rest of the r3 block. TEN r3-attested entries spill past the
+    # window to r6 — violation_examples, skew_report, dup_stats,
+    # minhash_lsh, simhash, quota_sample, global_shuffle, schema_report,
+    # temp_sample, upsample — chosen as the lowest-risk: row-local hash
+    # predicates / O(columns) metadata / dedup.py exact+LSH paths and
+    # stats.py untouched since r3, all re-verified in this session's full
+    # local sf0.01 sweep (and minhash_lsh's construction is additionally
+    # exercised INSIDE the window by pipeline_e2e's dedup stage). The 48
+    # r4-attested entries close the dict.
     return {
         # --- never driver-checked ---
         "suggest_constraints": q_suggest_constraints,
         "rate_anomaly": q_rate_anomaly,
+        "span_dedup": q_span_dedup,
         "stream_suite": q_stream_suite,
         "pipeline_e2e": q_pipeline_e2e,
         "sessionize_salted": q_sessionize_salted,
@@ -2203,6 +2217,58 @@ def oracle_sql() -> dict[str, str]:
         "stream_suite": _ROW_SUITE_ORACLE,
         "suggest_constraints": _suggest_oracle(
             ["conv_id", "role", "text", "tool"], ["turn_idx"], max_domain=10
+        ),
+        # keep-earliest = ROW_NUMBER over (doc_id, start); splice = token
+        # anti-join against the span coverage set; all-removed docs must
+        # yield '' (COALESCE), NULL-text docs NULL — matching the Spark
+        # array_join/filter semantics exactly
+        "span_dedup": with_docs(
+            """
+            , t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM docs),
+            g AS (
+              SELECT doc_id, unnest(range(0, len(w) - 8 + 1)) AS s, w
+              FROM t WHERE text IS NOT NULL AND len(w) >= 8
+            ),
+            k AS (
+              SELECT doc_id, s,
+                     md5(array_to_string(w[s + 1:s + 8], ' ')) AS key
+              FROM g
+            ),
+            r AS (
+              SELECT doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY key ORDER BY doc_id, s) AS rn
+              FROM k
+            ),
+            dup AS (SELECT doc_id, s FROM r WHERE rn > 1),
+            tok AS (
+              SELECT doc_id, unnest(range(0, len(w))) AS i, w
+              FROM t WHERE text IS NOT NULL
+            ),
+            cov AS (
+              SELECT DISTINCT tok.doc_id, tok.i
+              FROM tok JOIN dup d
+                ON d.doc_id = tok.doc_id AND tok.i >= d.s AND tok.i < d.s + 8
+            ),
+            per AS (
+              SELECT tok.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS ntok,
+                     CAST(COUNT(*) FILTER (WHERE cov.i IS NOT NULL) AS BIGINT) AS nrem,
+                     COALESCE(
+                       string_agg(tok.w[tok.i + 1], ' ' ORDER BY tok.i)
+                         FILTER (WHERE cov.i IS NULL),
+                       '') AS clean
+              FROM tok LEFT JOIN cov
+                ON cov.doc_id = tok.doc_id AND cov.i = tok.i
+              GROUP BY 1
+            ),
+            ds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng FROM dup GROUP BY 1)
+            SELECT t.doc_id,
+                   COALESCE(p.ntok, 0) AS n_tokens,
+                   COALESCE(ds.ng, 0) AS n_dup_grams,
+                   COALESCE(p.nrem, 0) AS n_removed,
+                   CASE WHEN t.text IS NULL THEN NULL ELSE p.clean END AS text_clean
+            FROM t LEFT JOIN per p USING (doc_id) LEFT JOIN ds USING (doc_id)
+            """
         ),
         "rate_anomaly": with_transcripts(
             f"""
