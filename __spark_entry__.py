@@ -445,6 +445,24 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(load_docs(spark, sf_dir), "doc_id", "text", gram_len=8)
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (operators/sampling.py:dsir_weights):
+    per-doc log-likelihood ratio of the hashed unigram+bigram distribution
+    under the English-target model vs the rest of the corpus — the
+    published data-selection scoring step; exp(score) feeds the A-ES
+    weighted sampler for the resampling half."""
+    from fsharp_data_validation_spark.operators.sampling import dsir_weights
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return dsir_weights(
+        load_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        F.col("lang") == "en",
+        n_buckets=4096,
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via shingle inverted index."""
     from fsharp_data_validation_spark.operators.dedup import ngram_jaccard_pairs
@@ -1764,20 +1782,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and corpus_curate (r4-attested; its operator was refactored into
     # _curate_survivors in r5), then the r3-attested entries whose operator
     # files r4 touched (similarity/text/crossrow/checks/multimodal), then
-    # the rest of the r3 block. TEN r3-attested entries spill past the
-    # window to r6 — violation_examples, skew_report, dup_stats,
-    # minhash_lsh, simhash, quota_sample, global_shuffle, schema_report,
-    # temp_sample, upsample — chosen as the lowest-risk: row-local hash
-    # predicates / O(columns) metadata / dedup.py exact+LSH paths and
-    # stats.py untouched since r3, all re-verified in this session's full
-    # local sf0.01 sweep (and minhash_lsh's construction is additionally
-    # exercised INSIDE the window by pipeline_e2e's dedup stage). The 48
-    # r4-attested entries close the dict.
+    # the rest of the r3 block. ELEVEN r3-attested entries spill past the
+    # window to r6 — weighted_sample, violation_examples, skew_report,
+    # dup_stats, minhash_lsh, simhash, quota_sample, global_shuffle,
+    # schema_report, temp_sample, upsample — chosen as the lowest-risk:
+    # row-local hash predicates / O(columns) metadata / dedup.py exact+LSH
+    # paths and stats.py untouched since r3, all re-verified in this
+    # session's full local sf0.01 sweep (and minhash_lsh's construction is
+    # additionally exercised INSIDE the window by pipeline_e2e's dedup
+    # stage). The 48 r4-attested entries close the dict.
     return {
         # --- never driver-checked ---
         "suggest_constraints": q_suggest_constraints,
         "rate_anomaly": q_rate_anomaly,
         "span_dedup": q_span_dedup,
+        "dsir_weights": q_dsir_weights,
         "stream_suite": q_stream_suite,
         "pipeline_e2e": q_pipeline_e2e,
         "sessionize_salted": q_sessionize_salted,
@@ -2299,6 +2318,63 @@ def oracle_sql() -> dict[str, str]:
                       CASE WHEN s > 0 THEN ABS(ROUND((rate - m) / s, 4)) > 2.0
                            ELSE rate <> m END, FALSE)) AS anomaly
             FROM wnd
+            """
+        ),
+        # hashed unigram+bigram Laplace-smoothed log-likelihood ratio;
+        # CASTs keep every ratio in DOUBLE (DuckDB decimal literals would
+        # otherwise promote the division to DECIMAL)
+        "dsir_weights": with_docs(
+            """
+            , base AS (
+              SELECT doc_id, text, (lang = 'en') AS is_target,
+                     string_split(text, ' ') AS w
+              FROM docs
+            ),
+            uni AS (
+              SELECT doc_id, is_target, unnest(w) AS g
+              FROM base WHERE text IS NOT NULL
+            ),
+            bi AS (
+              SELECT doc_id, is_target, array_to_string(w[i + 1:i + 2], ' ') AS g
+              FROM (
+                SELECT doc_id, is_target, w,
+                       unnest(range(0, len(w) - 1)) AS i
+                FROM base WHERE text IS NOT NULL AND len(w) >= 2
+              ) s
+            ),
+            occ AS (
+              SELECT doc_id, is_target,
+                     CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % 4096 AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) u
+            ),
+            bc AS (
+              SELECT b,
+                     COUNT(*) FILTER (WHERE is_target) AS ct,
+                     COUNT(*) FILTER (WHERE NOT is_target) AS cr
+              FROM occ GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(SUM(ct) AS DOUBLE) AS tt,
+                     CAST(SUM(cr) AS DOUBLE) AS tr
+              FROM bc
+            ),
+            lw AS (
+              SELECT b,
+                     LN((CAST(ct AS DOUBLE) + 1.0) / (tt + 1.0 * 4096))
+                     - LN((CAST(cr AS DOUBLE) + 1.0) / (tr + 1.0 * 4096)) AS lwt
+              FROM bc CROSS JOIN tot
+            ),
+            per AS (
+              SELECT occ.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     ROUND(SUM(lw.lwt), 4) AS logratio
+              FROM occ JOIN lw ON lw.b = occ.b
+              GROUP BY 1
+            )
+            SELECT d.doc_id, d.is_target,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   p.logratio
+            FROM base d LEFT JOIN per p USING (doc_id)
             """
         ),
         "violation_examples": _EXAMPLES_ORACLE,

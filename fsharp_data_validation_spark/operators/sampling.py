@@ -286,3 +286,107 @@ def weighted_sample(
     )
     rnk = F.row_number().over(Window.orderBy(F.desc("_key"), F.asc("id")))
     return top.select("id", "weight", rnk.alias("rnk"))
+
+
+def dsir_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col,
+    n_buckets: int = 10000,
+    smoothing: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — the public hashed-n-gram
+    formulation): score every document by the log-likelihood ratio of its
+    hashed unigram+bigram distribution under a TARGET corpus model (rows
+    where ``target_col`` is true — the small high-quality corpus) vs the
+    RAW model (the rest). High scores = "looks like the target"; feed the
+    exponentiated score into ``weighted_sample`` (A-ES) to realize the
+    paper's importance RESAMPLING step deterministically.
+
+    Scale shape — two aggregations over the exploded gram stream, nothing
+    quadratic and nothing model-sized beyond ``n_buckets`` rows:
+
+    1. One row-local projection builds unigrams + bigrams (split +
+       transform, codegen'd) and hashes each into one of ``n_buckets``
+       buckets with the portable md5 bucket hash (``md5_int % B`` — the
+       same gram may collide, which IS the method: hashing is the
+       dimensionality bound that lets the model stay KB-scale at any
+       corpus size). Explode -> one hash aggregation keyed on bucket with
+       conditional target/raw counts (map-side combined; output <= B rows).
+    2. Laplace-smoothed per-bucket log-ratios joined back to the gram
+       stream as a BROADCAST (B rows), then one hash aggregation per doc
+       sums them. Totals enter via a broadcast 1-row crossJoin (the
+       engine's standard tiny-aggregate pattern).
+
+    Float note: the per-doc score is an unordered double sum; published at
+    ``round_to`` decimals the summation-order difference (~1e-13 at
+    realistic gram counts) is invisible, same as the drift family. NULL
+    text -> 0 grams, NULL score. Returns (id_col, is_target, n_grams,
+    logratio)."""
+    lam = float(smoothing)
+    b = int(n_buckets)
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.array_join(F.slice(words, i + 1, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.when(
+        F.col(text_col).isNotNull(), F.concat(words, bigrams)
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        target_col.cast("boolean").alias("is_target"),
+        grams.alias("_grams"),
+    )
+    occ = base.select(
+        "_id", "is_target", F.explode("_grams").alias("_g")
+    ).select(
+        "_id",
+        "is_target",
+        F.pmod(md5_int(F.col("_g")), F.lit(b)).alias("_b"),
+    )
+    # persist the <=B-row bucket model: totals and log-ratios both read it,
+    # and without the persist Catalyst re-derives each branch from the
+    # corpus-wide gram explode (3 Generates instead of 2 in the plan)
+    bc = persist_tracked(
+        occ.groupBy("_b").agg(
+            F.sum(F.col("is_target").cast("long")).alias("_ct"),
+            F.sum((~F.col("is_target")).cast("long")).alias("_cr"),
+        )
+    )
+    tot = bc.agg(
+        F.sum("_ct").cast("double").alias("_tt"),
+        F.sum("_cr").cast("double").alias("_tr"),
+    )
+    lw = bc.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + lam) / (F.col("_tt") + lam * b))
+            - F.log((F.col("_cr") + lam) / (F.col("_tr") + lam * b))
+        ).alias("_lw"),
+    )
+    per = (
+        occ.join(F.broadcast(lw), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.round(F.sum("_lw"), round_to).alias("logratio"),
+        )
+    )
+    return (
+        base.select("_id", "is_target")
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "is_target",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            "logratio",
+        )
+    )
