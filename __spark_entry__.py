@@ -1310,6 +1310,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_blocked(load_vecs(spark, sf_dir), threshold=0.8)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators/similarity.py:semdedup):
+    sampled-centroid cells -> within-cell cosine pairs -> keep-earliest
+    exemplar per near-dup set. The sampled-centroid quantizer is the
+    SQL-replayable one, so assignment, pairing, and the keep flag are all
+    oracle-attested end-to-end (the ann_recall evidence design)."""
+    from fsharp_data_validation_spark.operators.similarity import semdedup
+    from fsharp_data_validation_spark.sources.documents import load_vecs
+
+    return semdedup(
+        load_vecs(spark, sf_dir), "vec_id", "embedding", n_cells=8, threshold=0.85
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (k-means cells -> probe -> exact rerank). Run with full
     probing here so the result is exact and shares the brute-force oracle;
@@ -1782,10 +1796,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and corpus_curate (r4-attested; its operator was refactored into
     # _curate_survivors in r5), then the r3-attested entries whose operator
     # files r4 touched (similarity/text/crossrow/checks/multimodal), then
-    # the rest of the r3 block. ELEVEN r3-attested entries spill past the
-    # window to r6 — weighted_sample, violation_examples, skew_report,
-    # dup_stats, minhash_lsh, simhash, quota_sample, global_shuffle,
-    # schema_report, temp_sample, upsample — chosen as the lowest-risk:
+    # the rest of the r3 block. TWELVE r3-attested entries spill past the
+    # window to r6 — chi2_by_day, weighted_sample, violation_examples,
+    # skew_report, dup_stats, minhash_lsh, simhash, quota_sample,
+    # global_shuffle, schema_report, temp_sample, upsample — chosen as the
+    # lowest-risk:
     # row-local hash predicates / O(columns) metadata / dedup.py exact+LSH
     # paths and stats.py untouched since r3, all re-verified in this
     # session's full local sf0.01 sweep (and minhash_lsh's construction is
@@ -1797,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_anomaly": q_rate_anomaly,
         "span_dedup": q_span_dedup,
         "dsir_weights": q_dsir_weights,
+        "semdedup": q_semdedup,
         "stream_suite": q_stream_suite,
         "pipeline_e2e": q_pipeline_e2e,
         "sessionize_salted": q_sessionize_salted,
@@ -2318,6 +2334,39 @@ def oracle_sql() -> dict[str, str]:
                       CASE WHEN s > 0 THEN ABS(ROUND((rate - m) / s, 4)) > 2.0
                            ELSE rate <> m END, FALSE)) AS anomaly
             FROM wnd
+            """
+        ),
+        # full construction replay of SemDeDup: sampled-centroid cells,
+        # argmin assignment (ties -> lowest cell), within-cell pairs,
+        # keep-earliest flag
+        "semdedup": with_vecs(
+            f"""
+            , cent AS (
+              SELECT cell, ce FROM (
+                SELECT e AS ce,
+                       ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+                FROM vecs) c
+              WHERE cell < 8
+            ),
+            assigned AS (
+              SELECT vec_id, e, CAST(cell AS INTEGER) AS cell FROM (
+                SELECT v.vec_id, v.e, c.cell,
+                       ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                          ORDER BY list_distance(v.e, c.ce), c.cell) AS rn
+                FROM vecs v CROSS JOIN cent c) a
+              WHERE rn = 1
+            ),
+            dupc AS (
+              SELECT b.vec_id AS vid, CAST(COUNT(*) AS BIGINT) AS n
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE ROUND({_COSINE_SQL.format(a='a.e', b='b.e')}, 6) >= 0.85
+              GROUP BY 1
+            )
+            SELECT a.vec_id, a.cell,
+                   COALESCE(d.n, 0) AS n_dup_earlier,
+                   (COALESCE(d.n, 0) = 0) AS keep
+            FROM assigned a LEFT JOIN dupc d ON d.vid = a.vec_id
             """
         ),
         # hashed unigram+bigram Laplace-smoothed log-likelihood ratio;

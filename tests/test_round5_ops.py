@@ -351,3 +351,36 @@ def test_dsir_weights_direction_and_counts(spark):
     # identical texts with identical label context score identically
     assert out[1]["logratio"] == out[2]["logratio"]
     assert out[3]["logratio"] == out[4]["logratio"]
+
+
+def test_semdedup_keep_earliest_within_cells(spark):
+    """SemDeDup (operators/similarity.py:semdedup) with pinned centroids:
+    same-direction vectors land in the same cell and all but the smallest
+    id are dropped (keep-earliest); dissimilar vectors in the same cell
+    survive; clustering bounds the pair scope to within-cell."""
+    import numpy as np
+
+    from fsharp_data_validation_spark.operators.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),   # cell 0
+            (2, [0.0, 2.0]),   # cell 0, cos(v1,v2)=1 -> drop
+            (3, [1.0, 0.0]),   # cell 1
+            (4, [2.0, 0.0]),   # cell 1, cos(v3,v4)=1 -> drop
+            (5, [0.6, 0.8]),   # cell 0, cos(v1,v5)=0.8 < threshold -> keep
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    cents = np.array([[0.0, 1.0], [1.0, 0.0]])
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(
+            df, "vec_id", "embedding", threshold=0.999, centroids=cents
+        ).collect()
+    }
+    assert [out[i]["cell"] for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 1, 0]
+    assert out[1]["keep"] and out[3]["keep"] and out[5]["keep"]
+    assert not out[2]["keep"] and out[2]["n_dup_earlier"] == 1
+    assert not out[4]["keep"] and out[4]["n_dup_earlier"] == 1
+    assert out[1]["n_dup_earlier"] == 0
