@@ -809,16 +809,19 @@ def span_dedup(
        key is portable to DuckDB). Explode -> (key, doc_id, start): one row
        per token, the same explode factor as the shingle inverted index
        ``ngram_jaccard_pairs`` already carries.
-    2. One aggregation per gram key: min(struct(doc_id, start)) with
-       map-side partial agg — the canonical occurrence. Spark plans
-       struct-min as SortAggregate, not hash agg; MEASURED vs a zero-padded
-       format_string key that stays in hash aggregation: 1.95 s vs 1.84 s
-       min-of-3 on a 9.3M-gram corpus (local[16]) — the explode+md5
-       projection dominates, so the generic struct form (correct for any
-       orderable id type) is kept. Join occurrences back on the key (same
-       partitioning, AQE-coalesced) and keep non-owners: the duplicated
-       spans. No all-pairs step anywhere — a gram occurring c times
-       contributes c rows, not c^2.
+    2. ONE shuffle of the gram table: a row_number window over (key)
+       ordered by (doc_id, start) — rank 1 is the canonical occurrence,
+       everything else is a duplicated span. This was first built as
+       groupBy(key).min(struct) + a join back; MEASURED at 1M docs /
+       local[4->16] that shape shuffles the 45M-row gram table TWICE
+       (gram keys rarely repeat within a partition, so the agg's map-side
+       combine reduces nothing) and scaled at 0.71; the single-window form
+       halves the shuffled bytes — 2.1x faster at N, 2.3x at 4N, raw
+       efficiency 0.769 = 1.046x that session's fixed-work CPU ceiling
+       (BENCH.md, span section). Skew = the most-duplicated gram's
+       occurrence count, the same bound the aggregation had. No all-pairs
+       step anywhere — a gram occurring c times contributes c rows, not
+       c^2.
     3. Collapse spans to a per-doc sorted start list (KB per doc), join
        back to the docs relation (one shuffle), and splice ROW-LOCALLY:
        a 2-arg filter lambda — pyspark binds (element, index) by ARITY —
@@ -850,12 +853,10 @@ def span_dedup(
         df.select(F.col(id_col).alias("_id"), F.explode(gram_structs).alias("g"))
         .select("_id", F.col("g.start").alias("start"), F.col("g.key").alias("key"))
     )
-    owners = occ.groupBy("key").agg(F.min(F.struct("_id", "start")).alias("own"))
+    wk = Window.partitionBy("key").orderBy("_id", "start")
     dup = (
-        occ.join(owners, "key")
-        .filter(
-            (F.col("_id") != F.col("own._id")) | (F.col("start") != F.col("own.start"))
-        )
+        occ.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") > 1)
         .select("_id", "start")
     )
     spans = dup.groupBy("_id").agg(

@@ -231,6 +231,41 @@ def run_dedup(cores: int, iters: int = 3) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def run_span(cores: int, iters: int = 3) -> dict:
+    """ExactSubstr span_dedup at local[cores] on the synthetic corpus (the
+    planted near-dups share a 35-55-word base text, so real duplicated
+    20-gram spans exist and the splice path genuinely runs)."""
+    from fsharp_data_validation_spark.operators.dedup import span_dedup
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_span_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS_DIR)
+    n = docs.count()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        out = span_dedup(docs, "doc_id", "text", gram_len=20)
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        release_caches(spark, sweep_rdds=True)
+        return dt
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
+
+
 def run_textstats(cores: int, iters: int = 3) -> dict:
     """Explode-heavy text-analytics family at local[cores] on the synthetic
     corpus: Gopher top-bigram repetition (per-doc window), Zipf fit
@@ -573,7 +608,7 @@ def main() -> None:
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--vecs", type=int, default=1_000_000)
-    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann", "pipeline"], default="suite")
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann", "pipeline", "span"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     ap.add_argument(
         "--taskset",
@@ -590,11 +625,11 @@ def main() -> None:
     if args.run:
         fn = {"dedup": run_dedup, "curate": run_curate, "pack": run_pack,
               "suite": run_suite, "textstats": run_textstats, "ann": run_ann,
-              "pipeline": run_pipeline}[args.mode]
+              "pipeline": run_pipeline, "span": run_span}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
-    if args.mode in ("dedup", "curate", "textstats", "pipeline"):
+    if args.mode in ("dedup", "curate", "textstats", "pipeline", "span"):
         if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
             print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
             gen_docs(args.docs)
@@ -636,6 +671,7 @@ def main() -> None:
         "suite": "validated turns/sec, full constraint suite",
         "pipeline": "packed docs/sec, END-TO-END composed pipeline (curate -> LSH dedup -> split/shard -> BPE pack)",
         "textstats": "analyzed docs/sec, text-analytics family (top-ngram + Zipf + PMI)",
+        "span": "span-deduped docs/sec, ExactSubstr duplicated-span removal (gram_len=20)",
         "ann": "searched vectors/sec, similarity family (blocked-GEMM cross-corpus + sign-LSH near-dup)",
     }[args.mode]
     summary = {
@@ -679,6 +715,12 @@ def main() -> None:
         f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
         f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
         "violations, 128 files)",
+        "span": "ExactSubstr-style duplicated-span removal (row-local 20-gram "
+        "struct projection -> explode -> ONE shuffle: row_number window over gram "
+        "key picks the keep-earliest owner, rank>1 rows are the duplicated spans "
+        "-> per-doc span lists -> row-local HOF splice) on the same synthetic "
+        f"corpus ({summary['turns']:,} docs with planted near-dups sharing "
+        "35-55-word bases, `tools/bench_scaling.py gen_docs`)",
         "textstats": "text-analytics family forced concurrently (Gopher top-bigram "
         "repetition: HOF n-gram build -> explode -> hash agg -> per-doc window; Zipf "
         "fit: token counts -> distributed TakeOrdered top-1000 -> regression "
