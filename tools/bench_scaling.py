@@ -266,6 +266,45 @@ def run_span(cores: int, iters: int = 3) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def run_dsir(cores: int, iters: int = 3) -> dict:
+    """DSIR importance weighting at local[cores] on the synthetic corpus
+    (pseudo-target = doc_id % 10 < 2, ~20% of docs — the label only gates
+    the conditional counts, so any split exercises the full plan)."""
+    from pyspark.sql import functions as F
+
+    from fsharp_data_validation_spark.operators.sampling import dsir_weights
+    from fsharp_data_validation_spark.sources.session import get_spark
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_dsir_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(DOCS_DIR)
+    n = docs.count()
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        out = dsir_weights(
+            docs, "doc_id", "text", F.col("doc_id") % 10 < 2, n_buckets=10000
+        )
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        release_caches(spark, sweep_rdds=True)
+        return dt
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
+
+
 def run_textstats(cores: int, iters: int = 3) -> dict:
     """Explode-heavy text-analytics family at local[cores] on the synthetic
     corpus: Gopher top-bigram repetition (per-doc window), Zipf fit
@@ -608,7 +647,7 @@ def main() -> None:
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--vecs", type=int, default=1_000_000)
-    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann", "pipeline", "span"], default="suite")
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann", "pipeline", "span", "dsir"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     ap.add_argument(
         "--taskset",
@@ -625,11 +664,11 @@ def main() -> None:
     if args.run:
         fn = {"dedup": run_dedup, "curate": run_curate, "pack": run_pack,
               "suite": run_suite, "textstats": run_textstats, "ann": run_ann,
-              "pipeline": run_pipeline, "span": run_span}[args.mode]
+              "pipeline": run_pipeline, "span": run_span, "dsir": run_dsir}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
-    if args.mode in ("dedup", "curate", "textstats", "pipeline", "span"):
+    if args.mode in ("dedup", "curate", "textstats", "pipeline", "span", "dsir"):
         if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
             print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
             gen_docs(args.docs)
@@ -672,6 +711,7 @@ def main() -> None:
         "pipeline": "packed docs/sec, END-TO-END composed pipeline (curate -> LSH dedup -> split/shard -> BPE pack)",
         "textstats": "analyzed docs/sec, text-analytics family (top-ngram + Zipf + PMI)",
         "span": "span-deduped docs/sec, ExactSubstr duplicated-span removal (gram_len=20)",
+        "dsir": "scored docs/sec, DSIR hashed-n-gram importance weighting (10k buckets)",
         "ann": "searched vectors/sec, similarity family (blocked-GEMM cross-corpus + sign-LSH near-dup)",
     }[args.mode]
     summary = {
@@ -715,6 +755,12 @@ def main() -> None:
         f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
         f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
         "violations, 128 files)",
+        "dsir": "DSIR importance weighting (row-local unigram+bigram projection "
+        "-> explode -> map-side-combined conditional bucket counts (<=10k rows "
+        "shuffled) -> persisted KB bucket model broadcast back into a second gram "
+        "explode -> per-doc log-ratio hash aggregation) on the same synthetic "
+        f"corpus ({summary['turns']:,} docs, ~20% pseudo-target split, "
+        "`tools/bench_scaling.py gen_docs`)",
         "span": "ExactSubstr-style duplicated-span removal (row-local 20-gram "
         "struct projection -> explode -> ONE shuffle: row_number window over gram "
         "key picks the keep-earliest owner, rank>1 rows are the duplicated spans "
