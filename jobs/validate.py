@@ -83,7 +83,8 @@ def main(argv=None) -> int:
         "--profile",
         action="store_true",
         help="also write <output>/profile.json: Deequ-style check suite, "
-        "functional-dependency violation profile, and the moments rollup "
+        "functional-dependency violation profile, suggested constraints, "
+        "daily violation-rate anomalies, and the moments rollup "
         "over text length (all KB-scale aggregates; report-only, does not "
         "affect exit status)",
     )
@@ -158,6 +159,8 @@ def main(argv=None) -> int:
             compliance,
             dataset_checks,
             fd_violations,
+            rate_anomaly,
+            suggest_constraints,
             uniqueness,
         )
         from fsharp_data_validation_spark.operators.stats import (
@@ -193,10 +196,27 @@ def main(argv=None) -> int:
                 "text_len",
             )
         )
+        suggested = suggest_constraints(
+            df,
+            string_cols=["conv_id", "role", "text", "tool"],
+            numeric_cols=["turn_idx"],
+        )
+        anomalies = rate_anomaly(
+            df,
+            F.to_date("ts"),
+            transcript_row_suite().any_failure_column(),
+        )
         profile = {
             "checks": [r.asDict() for r in checks.collect()],
             "fd_violations": [r.asDict() for r in fd.collect()],
             "text_len_moments": [r.asDict() for r in mom.collect()],
+            # discovery + monitoring companions of the asserted suite:
+            # the constraints the data currently supports, and control-chart
+            # z-scores of the daily violation-rate series
+            "suggested_constraints": [r.asDict() for r in suggested.collect()],
+            "rate_anomalies": [
+                r.asDict() for r in anomalies.filter(F.col("anomaly")).collect()
+            ],
         }
         os.makedirs(args.output, exist_ok=True)
         with open(os.path.join(args.output, "profile.json"), "w") as f:

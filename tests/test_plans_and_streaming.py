@@ -722,8 +722,9 @@ def test_windowed_chi2_stream_matches_batch(spark, tmp_path):
 
 
 def test_job_profile_flag(spark, tmp_path):
-    """--profile writes profile.json with the check suite, FD profile, and
-    moments rollup alongside the validation outputs; report-only (exit 0)."""
+    """--profile writes profile.json with the check suite, FD profile,
+    moments rollup, suggested constraints, and daily violation-rate
+    anomalies alongside the validation outputs; report-only (exit 0)."""
     import json as _json
     import sys
 
@@ -750,6 +751,18 @@ def test_job_profile_flag(spark, tmp_path):
     assert fds["conv_id,turn_idx->role"]["violating_keys"] > 0
     m = prof["text_len_moments"][0]
     assert m["n_values"] > 0 and m["var_pop"] > 0
+    # discovery companion: the derived table's role column is low-cardinality
+    # (4 valid roles + injected 'robot') -> a domain suggestion must appear,
+    # and text has injected NULLs -> completeness (not not_null)
+    sugg = {(r["column"], r["kind"]) for r in prof["suggested_constraints"]}
+    assert ("role", "domain") in sugg and ("role", "not_null") in sugg
+    assert ("text", "completeness") in sugg and ("text", "not_null") not in sugg
+    # monitoring companion: only flagged days are written, each a full
+    # control-chart row (at sf0.001 the ~35-row days are noisy enough that
+    # genuine z-threshold crossings can and do appear — don't pin the count)
+    for a in prof["rate_anomalies"]:
+        assert a["anomaly"] is True
+        assert {"day", "n_rows", "n_viol", "rate", "mean_rate", "sd_rate"} <= set(a)
 
 
 def test_diff_runs_statuses(spark, tmp_path):
