@@ -197,6 +197,25 @@ def near_dup_pairs_blocked(
     return tiles.groupBy("bi", "bj").applyInPandas(tile_kernel, out_schema)
 
 
+def _sq_dists(m: np.ndarray, centers: np.ndarray, chunk: int = 4096) -> np.ndarray:
+    """Squared euclidean distances (rows x centers) via the GEMM identity
+    ||a-c||^2 = ||a||^2 + ||c||^2 - 2 a.c — O(rows x cells) memory in
+    ``chunk``-row tiles, vs the 3-D broadcast (rows x cells x dim) the
+    naive form materializes. At the 10^4-10^5 cells a web-scale quantizer
+    uses, the broadcast is a >10 GB allocation per Arrow batch and the
+    GEMM is a BLAS call; at the 8-16 cells of the oracle configs both are
+    exact float64 and agree with DuckDB's list_distance ordering (verified
+    by the semdedup/ann_recall oracle sweeps). Clamped at 0 so float
+    cancellation can't produce tiny negatives."""
+    c2 = (centers * centers).sum(axis=1)[None, :]
+    out = np.empty((m.shape[0], centers.shape[0]), dtype="float64")
+    for lo in range(0, m.shape[0], chunk):
+        t = m[lo:lo + chunk]
+        d = (t * t).sum(axis=1)[:, None] + c2 - 2.0 * (t @ centers.T)
+        np.maximum(d, 0.0, out=out[lo:lo + chunk])
+    return out
+
+
 def sampled_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -266,8 +285,7 @@ def ivf_topk(
         def assign_cell(batch: pd.Series) -> pd.Series:
             if len(batch) == 0:
                 return pd.Series([], dtype="int32")
-            m = np.stack(batch.to_numpy())
-            d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            d2 = _sq_dists(np.stack(batch.to_numpy()), centers)
             # argmin ties -> lowest cell index (matches the oracle's
             # ORDER BY distance, cell)
             return pd.Series(np.argmin(d2, axis=1).astype("int32"))
@@ -295,8 +313,7 @@ def ivf_topk(
     def probe_cells(qs: pd.Series) -> pd.Series:
         if len(qs) == 0:
             return pd.Series([], dtype="object")
-        m = np.stack(qs.to_numpy())  # (q, dim)
-        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = _sq_dists(np.stack(qs.to_numpy()), centers)  # (q, cells)
         # stable sort: equidistant cells probe in index order (oracle parity)
         order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype("int32")
         return pd.Series(list(order))
@@ -364,8 +381,7 @@ def semdedup(
     def assign_cell(batch: pd.Series) -> pd.Series:
         if len(batch) == 0:
             return pd.Series([], dtype="int32")
-        m = np.stack(batch.to_numpy())
-        d2 = ((m[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        d2 = _sq_dists(np.stack(batch.to_numpy()), centers)
         return pd.Series(np.argmin(d2, axis=1).astype("int32"))
 
     assigned = persist_tracked(

@@ -305,6 +305,52 @@ def run_dsir(cores: int, iters: int = 3) -> dict:
             "turns_per_sec": round(n / sec, 1)}
 
 
+def run_sem(cores: int, iters: int = 3) -> dict:
+    """SemDeDup at local[cores]: 100k vectors of the synthetic embedding
+    corpus, 1,024 sampled-centroid cells — the realistic cells-per-corpus
+    ratio (~100 vectors/cell) that the chunked-GEMM assignment kernel
+    exists for (the 3-D broadcast form would allocate batch x 1024 x 64
+    doubles per Arrow batch). Centroids are sampled once OUTSIDE the timed
+    region (a fixed quantizer is the production posture; sampling is a
+    TakeOrdered + O(cells) collect)."""
+    from fsharp_data_validation_spark.operators.similarity import (
+        sampled_centroids,
+        semdedup,
+    )
+    from fsharp_data_validation_spark.sources.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        master=f"local[{cores}]",
+        app=f"bench_sem_{cores}",
+        extra={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    vecs = spark.read.parquet(VECS_DIR).filter(F.col("vec_id") < 100_000)
+    n = vecs.count()
+    cents = sampled_centroids(vecs, "vec_id", "embedding", 1024)
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        out = semdedup(
+            vecs, "vec_id", "embedding", threshold=0.9, centroids=cents
+        )
+        out.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        release_caches(spark, sweep_rdds=True)
+        return dt
+
+    once()
+    sec = min(once() for _ in range(iters))
+    spark.stop()
+    return {"cores": cores, "sec": round(sec, 2), "turns": n,
+            "turns_per_sec": round(n / sec, 1)}
+
+
 def run_textstats(cores: int, iters: int = 3) -> dict:
     """Explode-heavy text-analytics family at local[cores] on the synthetic
     corpus: Gopher top-bigram repetition (per-doc window), Zipf fit
@@ -647,7 +693,7 @@ def main() -> None:
     ap.add_argument("--base", type=int, default=4, help="N (4N is derived)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--vecs", type=int, default=1_000_000)
-    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann", "pipeline", "span", "dsir"], default="suite")
+    ap.add_argument("--mode", choices=["suite", "dedup", "curate", "pack", "textstats", "ann", "pipeline", "span", "dsir", "sem"], default="suite")
     ap.add_argument("--run", type=int, default=None)
     ap.add_argument(
         "--taskset",
@@ -664,7 +710,7 @@ def main() -> None:
     if args.run:
         fn = {"dedup": run_dedup, "curate": run_curate, "pack": run_pack,
               "suite": run_suite, "textstats": run_textstats, "ann": run_ann,
-              "pipeline": run_pipeline, "span": run_span, "dsir": run_dsir}[args.mode]
+              "pipeline": run_pipeline, "span": run_span, "dsir": run_dsir, "sem": run_sem}[args.mode]
         print(json.dumps(fn(args.run, args.iters)))
         return
 
@@ -672,7 +718,7 @@ def main() -> None:
         if not os.path.exists(DOCS_DIR + "/_SUCCESS"):
             print(f"generating {args.docs:,} docs -> {DOCS_DIR}", file=sys.stderr)
             gen_docs(args.docs)
-    elif args.mode == "ann":
+    elif args.mode in ("ann", "sem"):
         if not os.path.exists(VECS_DIR + "/_SUCCESS"):
             print(f"generating {args.vecs:,} vectors -> {VECS_DIR}", file=sys.stderr)
             gen_vecs(args.vecs)
@@ -712,6 +758,7 @@ def main() -> None:
         "textstats": "analyzed docs/sec, text-analytics family (top-ngram + Zipf + PMI)",
         "span": "span-deduped docs/sec, ExactSubstr duplicated-span removal (gram_len=20)",
         "dsir": "scored docs/sec, DSIR hashed-n-gram importance weighting (10k buckets)",
+        "sem": "semantically-deduped vectors/sec, SemDeDup (1,024 cells, GEMM assignment)",
         "ann": "searched vectors/sec, similarity family (blocked-GEMM cross-corpus + sign-LSH near-dup)",
     }[args.mode]
     summary = {
@@ -755,6 +802,12 @@ def main() -> None:
         f"with HLL distincts, PSI drift) on a deterministic synthetic transcript table "
         f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
         "violations, 128 files)",
+        "sem": "SemDeDup semantic dedup (chunked-GEMM argmin assignment of every "
+        "vector to 1,024 sampled-centroid cells via an Arrow pandas UDF -> "
+        "within-cell self-join (quadratic in the largest cell only, ~100 "
+        "vectors/cell) -> Arrow pair-cosine verify -> keep-earliest flag per "
+        f"vector) on {summary['turns']:,} x 64-dim synthetic vectors with planted "
+        "near-dups (`tools/bench_scaling.py gen_vecs`)",
         "dsir": "DSIR importance weighting (row-local unigram+bigram projection "
         "-> explode -> map-side-combined conditional bucket counts (<=10k rows "
         "shuffled) -> persisted KB bucket model broadcast back into a second gram "
@@ -784,7 +837,7 @@ def main() -> None:
     unit = ("validated turns/sec" if args.mode == "suite"
             else "packed docs/sec" if args.mode == "pipeline"
             else "turns/sec" if args.mode == "pack"
-            else "vectors/sec" if args.mode == "ann" else "docs/sec")
+            else "vectors/sec" if args.mode in ("ann", "sem") else "docs/sec")
     pin_note = (
         " Each level's whole process tree (JVM + pandas-UDF python workers) is "
         "OS-pinned to exactly that many physical cores (`taskset`), the faithful "
