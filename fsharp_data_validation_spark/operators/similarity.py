@@ -358,10 +358,18 @@ def semdedup(
     near-dup set, the embedding-space sibling of the text dedup family.
 
     Spark shape: cell assignment is one argmin pass over the vectors (the
-    same Arrow kernel as ``ivf_topk``; ties -> lowest cell index, matching
-    the oracle's ORDER BY distance, cell), persisted so the self-join and
-    the final report read the assignment once. The within-cell self-join is
-    the paper's cost model: quadratic in the LARGEST cell, never in n —
+    chunked-GEMM kernel shared with ``ivf_topk``; ties -> lowest cell
+    index, matching the oracle's ORDER BY distance, cell), persisted so
+    the pair stage and the final report read the assignment once. The
+    within-cell pairing is ONE ``applyInPandas`` group per cell computing
+    the cell's full cosine matrix with a single float64 GEMM and reducing
+    it to per-vector earlier-neighbor counts IN the kernel — each vector
+    moves through the shuffle once (O(n) bytes), not once per pair. This
+    replaced a cell-keyed self-join + per-pair Arrow cosine that shipped
+    both 64-dim vectors for every candidate pair (O(pairs) bytes, ~100x
+    more traffic at ~100 vectors/cell; measured N->4N efficiency 0.44 on
+    a 200k-vector corpus — bandwidth-bound — vs the GEMM form below).
+    Work and kernel memory are quadratic in the LARGEST cell, never in n —
     ``n_cells`` is the knob (pick n/n_cells ~ the pair budget per cell; at
     10^9 vectors that means 10^4-10^5 cells from a trained quantizer). The
     default ``sampled_centroids`` quantizer is deterministic AND
@@ -391,18 +399,32 @@ def semdedup(
             assign_cell(F.col(vec_col)).alias("cell"),
         )
     )
-    a = assigned.select(F.col("_id").alias("_ida"), F.col("_v").alias("_va"), "cell")
-    b = assigned.select(F.col("_id").alias("_idb"), F.col("_v").alias("_vb"), "cell")
-    dupc = (
-        a.join(b, "cell")
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            F.round(_pair_cosine(F.col("_va"), F.col("_vb")), round_to)
-            >= threshold
-        )
-        .groupBy("_idb")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_earlier"))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    dup_schema = StructType(
+        [StructField("_idb", LongType()), StructField("n_dup_earlier", LongType())]
     )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"_idb": [], "n_dup_earlier": []}).astype(
+                {"_idb": "int64", "n_dup_earlier": "int64"}
+            )
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        m = np.stack(pdf["_v"].to_numpy())[order]
+        norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+        sims = (m @ m.T) / np.outer(norms, norms)
+        hit = np.round(sims, round_to) >= threshold
+        # ids ascend along the axes, so strict-upper-triangle = earlier id;
+        # column sums = per-vector earlier-neighbor counts
+        counts = np.triu(hit, k=1).sum(axis=0).astype("int64")
+        keep = counts > 0
+        return pd.DataFrame(
+            {"_idb": ids[keep].astype("int64"), "n_dup_earlier": counts[keep]}
+        )
+
+    dupc = assigned.groupBy("cell").applyInPandas(cell_kernel, dup_schema)
     return (
         assigned.join(dupc, assigned["_id"] == dupc["_idb"], "left")
         .select(

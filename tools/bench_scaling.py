@@ -306,8 +306,8 @@ def run_dsir(cores: int, iters: int = 3) -> dict:
 
 
 def run_sem(cores: int, iters: int = 3) -> dict:
-    """SemDeDup at local[cores]: 100k vectors of the synthetic embedding
-    corpus, 1,024 sampled-centroid cells — the realistic cells-per-corpus
+    """SemDeDup at local[cores]: 500k vectors of the synthetic embedding
+    corpus, 5,120 sampled-centroid cells (~100 vectors/cell) — the realistic cells-per-corpus
     ratio (~100 vectors/cell) that the chunked-GEMM assignment kernel
     exists for (the 3-D broadcast form would allocate batch x 1024 x 64
     doubles per Arrow batch). Centroids are sampled once OUTSIDE the timed
@@ -320,6 +320,12 @@ def run_sem(cores: int, iters: int = 3) -> dict:
     from fsharp_data_validation_spark.sources.session import get_spark
     from pyspark.sql import functions as F
 
+    # pin BLAS: the assignment and cell kernels are numpy GEMMs now, and an
+    # un-pinned OpenBLAS spawns cpu_count threads that thrash the taskset'd
+    # core set (the r4 ann postmortem failure mode)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ[var] = "1"
+
     spark = get_spark(
         master=f"local[{cores}]",
         app=f"bench_sem_{cores}",
@@ -330,9 +336,17 @@ def run_sem(cores: int, iters: int = 3) -> dict:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    vecs = spark.read.parquet(VECS_DIR).filter(F.col("vec_id") < 100_000)
+    # repartition: the filtered slice reads as a handful of parquet splits,
+    # which caps task parallelism at every level and voids the comparison
+    # (first run: 7-ish input tasks -> 0.445 "efficiency", i.e. local[16]
+    # never filled)
+    vecs = (
+        spark.read.parquet(VECS_DIR)
+        .filter(F.col("vec_id") < 500_000)
+        .repartition(128)
+    )
     n = vecs.count()
-    cents = sampled_centroids(vecs, "vec_id", "embedding", 1024)
+    cents = sampled_centroids(vecs, "vec_id", "embedding", 5120)
 
     def once() -> float:
         t0 = time.perf_counter()
@@ -758,7 +772,7 @@ def main() -> None:
         "textstats": "analyzed docs/sec, text-analytics family (top-ngram + Zipf + PMI)",
         "span": "span-deduped docs/sec, ExactSubstr duplicated-span removal (gram_len=20)",
         "dsir": "scored docs/sec, DSIR hashed-n-gram importance weighting (10k buckets)",
-        "sem": "semantically-deduped vectors/sec, SemDeDup (1,024 cells, GEMM assignment)",
+        "sem": "semantically-deduped vectors/sec, SemDeDup (5,120 cells, GEMM kernels)",
         "ann": "searched vectors/sec, similarity family (blocked-GEMM cross-corpus + sign-LSH near-dup)",
     }[args.mode]
     summary = {
@@ -803,9 +817,10 @@ def main() -> None:
         f"({summary['turns']:,} turns, `sources/synth.py`, skewed conv_id + injected "
         "violations, 128 files)",
         "sem": "SemDeDup semantic dedup (chunked-GEMM argmin assignment of every "
-        "vector to 1,024 sampled-centroid cells via an Arrow pandas UDF -> "
-        "within-cell self-join (quadratic in the largest cell only, ~100 "
-        "vectors/cell) -> Arrow pair-cosine verify -> keep-earliest flag per "
+        "vector to 5,120 sampled-centroid cells via an Arrow pandas UDF -> "
+        "one applyInPandas GEMM per cell reducing the cosine matrix to "
+        "earlier-neighbor counts in-kernel (quadratic work in the largest cell "
+        "only, ~100 vectors/cell; O(n) shuffle bytes) -> keep-earliest flag per "
         f"vector) on {summary['turns']:,} x 64-dim synthetic vectors with planted "
         "near-dups (`tools/bench_scaling.py gen_vecs`)",
         "dsir": "DSIR importance weighting (row-local unigram+bigram projection "
