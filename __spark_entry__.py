@@ -432,6 +432,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(load_docs(spark, sf_dir), "doc_id", "text")
 
 
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality filter (operators/text.py:
+    ngram_perplexity): every doc scored under an add-k bigram model trained
+    on the English reference sub-corpus — the CCNet/RefinedWeb
+    perplexity-filtering architecture; off-reference (non-en) docs surface
+    with higher perplexity."""
+    from fsharp_data_validation_spark.operators.text import ngram_perplexity
+    from fsharp_data_validation_spark.sources.documents import load_docs
+
+    return ngram_perplexity(
+        load_docs(spark, sf_dir), "doc_id", "text", F.col("lang") == "en", k=0.1
+    )
+
+
 def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span removal (operators/dedup.py:
     span_dedup): every 8-token span occurring more than once corpus-wide is
@@ -1796,11 +1810,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and corpus_curate (r4-attested; its operator was refactored into
     # _curate_survivors in r5), then the r3-attested entries whose operator
     # files r4 touched (similarity/text/crossrow/checks/multimodal), then
-    # the rest of the r3 block. TWELVE r3-attested entries spill past the
-    # window to r6 — chi2_by_day, weighted_sample, violation_examples,
-    # skew_report, dup_stats, minhash_lsh, simhash, quota_sample,
-    # global_shuffle, schema_report, temp_sample, upsample — chosen as the
-    # lowest-risk:
+    # the rest of the r3 block. THIRTEEN r3-attested entries spill past the
+    # window to r6 — moments, chi2_by_day, weighted_sample,
+    # violation_examples, skew_report, dup_stats, minhash_lsh, simhash,
+    # quota_sample, global_shuffle, schema_report, temp_sample, upsample —
+    # chosen as the lowest-risk:
     # row-local hash predicates / O(columns) metadata / dedup.py exact+LSH
     # paths and stats.py untouched since r3, all re-verified in this
     # session's full local sf0.01 sweep (and minhash_lsh's construction is
@@ -1813,6 +1827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "dsir_weights": q_dsir_weights,
         "semdedup": q_semdedup,
+        "ngram_perplexity": q_ngram_perplexity,
         "stream_suite": q_stream_suite,
         "pipeline_e2e": q_pipeline_e2e,
         "sessionize_salted": q_sessionize_salted,
@@ -2334,6 +2349,59 @@ def oracle_sql() -> dict[str, str]:
                       CASE WHEN s > 0 THEN ABS(ROUND((rate - m) / s, 4)) > 2.0
                            ELSE rate <> m END, FALSE)) AS anomaly
             FROM wnd
+            """
+        ),
+        # bigram add-k LM trained on the en reference sub-corpus; CASTs keep
+        # the smoothed ratios in DOUBLE (decimal literals would otherwise
+        # promote the division to DECIMAL)
+        "ngram_perplexity": with_docs(
+            """
+            , base AS (
+              SELECT doc_id, text, (lang = 'en') AS is_ref,
+                     string_split(text, ' ') AS w
+              FROM docs
+            ),
+            refbg AS (
+              SELECT w[i + 1] AS w1, w[i + 2] AS w2
+              FROM (
+                SELECT w, unnest(range(0, len(w) - 1)) AS i
+                FROM base WHERE is_ref AND text IS NOT NULL AND len(w) >= 2
+              ) s
+            ),
+            bg AS (SELECT w1, w2, COUNT(*) AS c12 FROM refbg GROUP BY 1, 2),
+            ctx AS (SELECT w1, SUM(c12) AS c1 FROM bg GROUP BY 1),
+            voc AS (
+              SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+              FROM (SELECT unnest(w) AS tok FROM base
+                    WHERE is_ref AND text IS NOT NULL) t
+            ),
+            docbg AS (
+              SELECT doc_id, w[i + 1] AS w1, w[i + 2] AS w2
+              FROM (
+                SELECT doc_id, w, unnest(range(0, len(w) - 1)) AS i
+                FROM base WHERE text IS NOT NULL AND len(w) >= 2
+              ) s
+            ),
+            sc AS (
+              SELECT d.doc_id,
+                     LOG2(
+                       (CAST(COALESCE(bg.c12, 0) AS DOUBLE) + 0.1)
+                       / (CAST(COALESCE(ctx.c1, 0) AS DOUBLE)
+                          + 0.1 * (voc.v + 1.0))
+                     ) AS lp
+              FROM docbg d
+              LEFT JOIN bg ON bg.w1 = d.w1 AND bg.w2 = d.w2
+              LEFT JOIN ctx ON ctx.w1 = d.w1
+              CROSS JOIN voc
+            ),
+            per AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     ROUND(POW(2.0, -AVG(lp)), 4) AS ppl
+              FROM sc GROUP BY 1
+            )
+            SELECT b.doc_id, b.is_ref,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams, p.ppl
+            FROM base b LEFT JOIN per p USING (doc_id)
             """
         ),
         # full construction replay of SemDeDup: sampled-centroid cells,

@@ -1279,3 +1279,106 @@ def vocab_growth(
             F.sum("new_tokens").over(w).cast("bigint").alias("vocab_size"),
         )
     )
+
+
+def ngram_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ref_col,
+    k: float = 0.1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Bigram-LM perplexity quality filter (the CCNet / RefinedWeb
+    architecture: Wenzek et al. 2020 score documents against a reference-
+    domain LM and drop the high-perplexity tail). The model is a bigram
+    add-k language model trained on the REFERENCE sub-corpus (rows where
+    ``ref_col`` is true); every document — reference or not — is scored
+    with its perplexity under that model:
+
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1 .) + k * (V + 1))
+        ppl(doc)   = 2 ^ ( -mean_i log2 P(w_i | w_{i-1}) )
+
+    where c(.) are reference bigram/context counts and V is the reference
+    unigram vocabulary (the +1 is the unseen/UNK slot, so an unseen
+    context scores k/(k*(V+1)) = 1/(V+1) — deterministic, no special
+    cases). Documents with fewer than 2 tokens get NULL perplexity.
+
+    Scale shape: the model is TWO vocabulary-scale aggregations over the
+    exploded reference bigram stream (map-side combined; the context table
+    derives from the persisted bigram table, not a rescan); V enters as a
+    broadcast 1-row crossJoin. Scoring is one keyed join of the corpus
+    bigram stream against the model (vocab-scale build side — Spark
+    picks broadcast vs shuffle by stats) plus one per-doc aggregation.
+    Nothing is driver-side; nothing is quadratic.
+
+    Float note: the per-doc mean of log2 terms is an unordered double sum,
+    published at ``round_to`` decimals — same tolerance class as the drift
+    family. Returns (id_col, is_ref, n_bigrams, ppl)."""
+    from ..cache import persist_tracked
+
+    words = F.split(F.col(text_col), " ")
+    bigrams = F.when(
+        (F.col(text_col).isNotNull()) & (F.size(words) >= 2),
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.struct(
+                F.element_at(words, i + 1).alias("w1"),
+                F.element_at(words, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        ref_col.cast("boolean").alias("is_ref"),
+        bigrams.alias("_bg"),
+        words.alias("_w"),
+    )
+    ref_occ = base.filter("is_ref").select(F.explode("_bg").alias("g")).select(
+        "g.w1", "g.w2"
+    )
+    bg = persist_tracked(
+        ref_occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c12"))
+    )
+    ctx = bg.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    vocab = (
+        base.filter("is_ref")
+        .select(F.explode("_w").alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("_v"))
+    )
+
+    occ = base.select("_id", F.explode("_bg").alias("g")).select(
+        "_id", "g.w1", "g.w2"
+    )
+    scored = (
+        occ.join(bg, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "_id",
+            (
+                F.log2(
+                    (F.coalesce(F.col("_c12"), F.lit(0)) + F.lit(k))
+                    / (
+                        F.coalesce(F.col("_c1"), F.lit(0))
+                        + F.lit(k) * (F.col("_v") + F.lit(1.0))
+                    )
+                )
+            ).alias("_lp"),
+        )
+    )
+    per = scored.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.pow(F.lit(2.0), -F.avg("_lp")), round_to).alias("ppl"),
+    )
+    return (
+        base.select("_id", "is_ref")
+        .join(per, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "is_ref",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "ppl",
+        )
+    )

@@ -384,3 +384,52 @@ def test_semdedup_keep_earliest_within_cells(spark):
     assert not out[2]["keep"] and out[2]["n_dup_earlier"] == 1
     assert not out[4]["keep"] and out[4]["n_dup_earlier"] == 1
     assert out[1]["n_dup_earlier"] == 0
+
+
+def test_ngram_perplexity_reference_model(spark):
+    """Bigram-LM perplexity (operators/text.py:ngram_perplexity) pins: a
+    doc made of reference bigrams scores LOW perplexity; a doc of tokens
+    the reference never saw scores the uniform-unseen level (every bigram
+    backs off to 1/(V+1)); short docs (<2 tokens) get NULL; n_bigrams =
+    tokens - 1; the model trains ONLY on reference rows (the off-reference
+    doc's own bigrams must not teach the model)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from fsharp_data_validation_spark.operators.text import ngram_perplexity
+
+    ref = "a b a b a b a b"
+    df = spark.createDataFrame(
+        [
+            (1, ref, True),
+            (2, ref, True),
+            (3, "a b a b", False),     # in-distribution, off-reference
+            (4, "z q z q z q", False), # fully out-of-vocabulary
+            (5, "solo", False),        # < 2 tokens
+            (6, None, False),
+            (7, "a b a b a b a b", False),  # ref text, non-ref label
+        ],
+        "doc_id int, text string, is_ref boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ngram_perplexity(
+            df, "doc_id", "text", F.col("is_ref"), k=0.1
+        ).collect()
+    }
+    assert out[1]["n_bigrams"] == 7 and out[3]["n_bigrams"] == 3
+    assert out[5]["ppl"] is None and out[5]["n_bigrams"] == 0
+    assert out[6]["ppl"] is None
+
+    # in-distribution doc is near-certain under the model -> ppl near 1;
+    # OOV doc backs off to uniform 1/(V+1) with V=2 -> ppl exactly 3.0
+    assert out[3]["ppl"] < 1.5
+    assert abs(out[4]["ppl"] - 3.0) < 1e-6
+    assert out[3]["ppl"] < out[4]["ppl"]
+    # scoring is label-blind: a reference doc and an identical-text
+    # non-reference doc score identically (the label only gates training)
+    assert out[7]["ppl"] == out[1]["ppl"]
+
+    # analytic check for the OOV level: -mean log2(1/(V+1)) = log2(3)
+    assert abs(math.log2(3.0) - math.log2(out[4]["ppl"])) < 1e-9
