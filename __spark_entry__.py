@@ -1742,6 +1742,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_SUITE_RUNS = iter(range(1, 10_000))
+_STREAM_RA_RUNS = iter(range(1, 10_000))
 
 
 def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1772,6 +1773,76 @@ def q_stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         mem_table,
     )
     return out.select("conv_id", "turn_idx", "ts", "path", "code")
+
+
+def q_stream_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming control-chart monitoring driven for real (streaming/
+    validate_stream.py:windowed_rate_anomaly_stream): the daily
+    violation-rate series flows through a genuine file stream
+    (maxFilesPerTrigger=2 -> multiple micro-batches, the trailing baseline
+    carried in applyInPandasWithState state) and the concatenated append
+    output must hash-equal the BATCH rate_anomaly closed form — so this
+    query shares rate_anomaly's DuckDB oracle (day aliased from the window
+    start), the stream_suite evidence design applied to the stateful
+    surface."""
+    import itertools
+    import tempfile
+
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        windowed_rate_anomaly_stream,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    anyf = transcript_row_suite().any_failure_column()
+    daily = (
+        t.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(anyf.cast("long")).alias("n_viol"),
+        )
+        .select(
+            F.col("day").cast("timestamp").alias("win_start"),
+            "n_rows",
+            "n_viol",
+            F.round(F.col("n_viol") / F.col("n_rows"), 6).alias("rate"),
+        )
+        .orderBy("win_start")
+    )
+    src = tempfile.mkdtemp(prefix="stream_ra_src_")
+    # one file per day, written in day order, so maxFilesPerTrigger=2 makes
+    # genuine multi-batch input in event-time order
+    for row in daily.collect():
+        spark.createDataFrame(
+            [row], "win_start timestamp, n_rows bigint, n_viol bigint, rate double"
+        ).coalesce(1).write.mode("append").parquet(src)
+    rstream = (
+        spark.readStream.schema(
+            "win_start timestamp, n_rows bigint, n_viol bigint, rate double"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    mem_table = f"stream_ra_v{next(_STREAM_RA_RUNS)}"
+    q = (
+        windowed_rate_anomaly_stream(rstream, baseline=7, z_threshold=2.0)
+        .writeStream.format("memory")
+        .queryName(mem_table)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ra_ck_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(mem_table).select(
+        F.col("win_start").cast("date").alias("day"),
+        "n_rows",
+        "n_viol",
+        "rate",
+        "mean_rate",
+        "sd_rate",
+        "z",
+        "anomaly",
+    )
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1810,8 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and corpus_curate (r4-attested; its operator was refactored into
     # _curate_survivors in r5), then the r3-attested entries whose operator
     # files r4 touched (similarity/text/crossrow/checks/multimodal), then
-    # the rest of the r3 block. THIRTEEN r3-attested entries spill past the
-    # window to r6 — moments, chi2_by_day, weighted_sample,
+    # the rest of the r3 block. FOURTEEN r3-attested entries spill past the
+    # window to r6 — freq_items, moments, chi2_by_day, weighted_sample,
     # violation_examples, skew_report, dup_stats, minhash_lsh, simhash,
     # quota_sample, global_shuffle, schema_report, temp_sample, upsample —
     # chosen as the lowest-risk:
@@ -1828,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "semdedup": q_semdedup,
         "ngram_perplexity": q_ngram_perplexity,
+        "stream_rate_anomaly": q_stream_rate_anomaly,
         "stream_suite": q_stream_suite,
         "pipeline_e2e": q_pipeline_e2e,
         "sessionize_salted": q_sessionize_salted,
@@ -2174,6 +2246,41 @@ _COSINE_SQL = (
 )
 
 
+#: shared by rate_anomaly (batch) and stream_rate_anomaly (streaming —
+#: pytest pins the concatenated micro-batch output equal to the batch form)
+_RATE_ANOMALY_ORACLE = with_transcripts(
+f"""
+            , d AS (
+              SELECT CAST(ts AS DATE) AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(SUM(CASE WHEN ({_NF_EXPR}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
+              FROM transcripts GROUP BY 1
+            ),
+            r AS (
+              SELECT day, n_rows, n_viol,
+                     CAST(ROUND(n_viol * 1.0 / n_rows, 6) AS DOUBLE) AS rate
+              FROM d
+            ),
+            wnd AS (
+              SELECT day, n_rows, n_viol, rate,
+                     ROUND(AVG(rate) OVER w, 6) AS m,
+                     ROUND(STDDEV_POP(rate) OVER w, 6) AS s,
+                     COUNT(rate) OVER w AS hist
+              FROM r
+              WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT day, n_rows, n_viol, rate,
+                   m AS mean_rate,
+                   s AS sd_rate,
+                   ROUND(CASE WHEN s > 0 THEN (rate - m) / s END, 4) AS z,
+                   (hist >= 3 AND COALESCE(
+                      CASE WHEN s > 0 THEN ABS(ROUND((rate - m) / s, 4)) > 2.0
+                           ELSE rate <> m END, FALSE)) AS anomaly
+            FROM wnd
+            """
+        )
+
+
 def _suggest_oracle(
     string_cols: list[str], numeric_cols: list[str], max_domain: int = 10
 ) -> str:
@@ -2320,37 +2427,11 @@ def oracle_sql() -> dict[str, str]:
             FROM t LEFT JOIN per p USING (doc_id) LEFT JOIN ds USING (doc_id)
             """
         ),
-        "rate_anomaly": with_transcripts(
-            f"""
-            , d AS (
-              SELECT CAST(ts AS DATE) AS day,
-                     CAST(COUNT(*) AS BIGINT) AS n_rows,
-                     CAST(SUM(CASE WHEN ({_NF_EXPR}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viol
-              FROM transcripts GROUP BY 1
-            ),
-            r AS (
-              SELECT day, n_rows, n_viol,
-                     CAST(ROUND(n_viol * 1.0 / n_rows, 6) AS DOUBLE) AS rate
-              FROM d
-            ),
-            wnd AS (
-              SELECT day, n_rows, n_viol, rate,
-                     ROUND(AVG(rate) OVER w, 6) AS m,
-                     ROUND(STDDEV_POP(rate) OVER w, 6) AS s,
-                     COUNT(rate) OVER w AS hist
-              FROM r
-              WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
-            )
-            SELECT day, n_rows, n_viol, rate,
-                   m AS mean_rate,
-                   s AS sd_rate,
-                   ROUND(CASE WHEN s > 0 THEN (rate - m) / s END, 4) AS z,
-                   (hist >= 3 AND COALESCE(
-                      CASE WHEN s > 0 THEN ABS(ROUND((rate - m) / s, 4)) > 2.0
-                           ELSE rate <> m END, FALSE)) AS anomaly
-            FROM wnd
-            """
-        ),
+        "rate_anomaly": _RATE_ANOMALY_ORACLE,
+        # the streaming control chart must concatenate micro-batches to
+        # EXACTLY the batch closed form (pytest-pinned), so it shares the
+        # batch oracle
+        "stream_rate_anomaly": _RATE_ANOMALY_ORACLE,
         # bigram add-k LM trained on the en reference sub-corpus; CASTs keep
         # the smoothed ratios in DOUBLE (decimal literals would otherwise
         # promote the division to DECIMAL)

@@ -442,3 +442,155 @@ def windowed_w1_stream(
         "rows",
         F.round(w1 * F.lit(float(bucket_width)), round_to).alias("w1"),
     )
+
+
+def windowed_rates_to_sink(
+    stream_df: DataFrame,
+    suite: Suite,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Stage 1 of the streaming control chart: the watermarked windowed
+    violation-rate aggregation flattened to the sink schema
+    (win_start, n_rows, n_viol, rate) — write this append-mode to a
+    parquet/Kafka sink; ``windowed_rate_anomaly_stream`` consumes that sink
+    as its input stream (Spark does not allow a stateful operator after a
+    streaming aggregation in one query, so the monitoring loop is the
+    standard two-query topology)."""
+    flagged = suite.with_failures(stream_df).withWatermark(ts_col, watermark)
+    return (
+        flagged.groupBy(F.window(ts_col, window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.size("failures") > 0).cast("long")).alias("n_viol"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "n_rows",
+            "n_viol",
+            F.round(F.col("n_viol") / F.col("n_rows"), round_to).alias("rate"),
+        )
+    )
+
+
+def windowed_rate_anomaly_stream(
+    rates_stream: DataFrame,
+    baseline: int = 7,
+    z_threshold: float = 3.0,
+    min_history: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """STREAMING control-chart anomaly detection — the streaming sibling of
+    ``operators/checks.rate_anomaly``, closing the Deequ monitoring loop on
+    the live path: each CLOSED event-time window's violation rate is scored
+    against the trailing ``baseline`` closed windows' mean ± z·stddev, the
+    window itself excluded from its own baseline, with the same
+    rounded-before-branching float discipline as the batch form (a raw
+    stddev of ~1e-17 noise over identical rates must not divide a z).
+
+    Input is the CLOSED-WINDOW rates stream — the sink written by
+    ``windowed_rates_to_sink`` read back with ``readStream`` (the two-query
+    topology; a stateful operator cannot follow a streaming aggregation in
+    one query). A single control-plane key carries the trailing rate deque
+    across micro-batches via ``applyInPandasWithState`` — state is
+    O(baseline) floats and the operator sees one row per closed window, so
+    the stateful stage is KB-scale at any stream rate. Windows inside one
+    batch are scored in event-time order; watermark semantics make
+    cross-batch closes monotone.
+
+    Returns (win_start, n_rows, n_viol, rate, mean_rate, sd_rate, z,
+    anomaly) in append mode; pytest pins the concatenated output equal to
+    the batch ``rate_anomaly`` closed form over the same windows."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    rates = rates_stream.withColumn("_k", F.lit(1))
+
+    out_schema = StructType(
+        [
+            StructField("win_start", TimestampType()),
+            StructField("n_rows", LongType()),
+            StructField("n_viol", LongType()),
+            StructField("rate", DoubleType()),
+            StructField("mean_rate", DoubleType()),
+            StructField("sd_rate", DoubleType()),
+            StructField("z", DoubleType()),
+            StructField("anomaly", BooleanType()),
+        ]
+    )
+    # carried baseline: the last ``baseline`` closed-window rates, oldest first
+    state_schema = StructType([StructField("rates", ArrayType(DoubleType()))])
+
+    def score(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+        from decimal import Decimal, ROUND_HALF_UP
+
+        def rnd(x: float, n: int) -> float:
+            # Spark's ROUND on doubles = BigDecimal.valueOf(x) (shortest
+            # repr, same as Python repr) quantized HALF_UP. Python's builtin
+            # round() is banker's — means of 6-decimal rates land on exact
+            # .5 boundaries at the 7th digit constantly, so the builtin
+            # WOULD diverge from the batch form (caught by the oracle).
+            q = Decimal(1).scaleb(-n)
+            return float(Decimal(repr(float(x))).quantize(q, ROUND_HALF_UP))
+
+        hist = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("win_start")
+            out = {
+                "win_start": [], "n_rows": [], "n_viol": [], "rate": [],
+                "mean_rate": [], "sd_rate": [], "z": [], "anomaly": [],
+            }
+            for _, row in pdf.iterrows():
+                rate = float(row["rate"])
+                if hist:
+                    # sequential sum/len, NOT np.mean (pairwise summation):
+                    # the batch form's AVG accumulates sequentially in frame
+                    # order, and the published 6-decimal round sits on .5
+                    # boundaries often enough that the last ulp matters
+                    acc = 0.0
+                    for h in hist:
+                        acc += h
+                    m = rnd(acc / len(hist), round_to)
+                    sd = rnd(float(np.std(hist)), round_to)
+                    z = rnd((rate - m) / sd, 4) if sd > 0 else None
+                    anom = len(hist) >= min_history and (
+                        abs(z) > z_threshold if sd > 0 else rate != m
+                    )
+                else:
+                    m = sd = z = None
+                    anom = False
+                out["win_start"].append(row["win_start"])
+                out["n_rows"].append(int(row["n_rows"]))
+                out["n_viol"].append(int(row["n_viol"]))
+                out["rate"].append(rate)
+                out["mean_rate"].append(m)
+                out["sd_rate"].append(sd)
+                out["z"].append(z)
+                out["anomaly"].append(bool(anom))
+                hist.append(rate)
+                if len(hist) > baseline:
+                    hist = hist[-baseline:]
+            yield pd.DataFrame(out)
+        state.update((hist,))
+
+    return rates.groupBy("_k").applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

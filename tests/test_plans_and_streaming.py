@@ -855,3 +855,138 @@ def test_windowed_w1_stream_matches_batch(spark, tmp_path):
             round_to=6,
         ).collect()[0]["w1"]
         assert abs(got - want) <= 1e-3, (got, want)
+
+
+def test_windowed_rate_anomaly_stream_matches_batch(spark, tmp_path):
+    """Streaming control chart (two-query topology): the stateful stage's
+    concatenated append output over genuine multi-batch input equals the
+    batch rate_anomaly closed form on the same windows — baseline carry
+    across micro-batches, spike flagged with z NULL off a constant
+    baseline, self-exclusion intact. Also smoke-runs stage 1
+    (windowed_rates_to_sink) end-to-end."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from fsharp_data_validation_spark.operators.checks import rate_anomaly
+    from fsharp_data_validation_spark.operators.transcript_suite import (
+        transcript_row_suite,
+    )
+    from fsharp_data_validation_spark.streaming.validate_stream import (
+        windowed_rate_anomaly_stream,
+        windowed_rates_to_sink,
+    )
+
+    schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("turn_idx", IntegerType()),
+            StructField("role", StringType()),
+            StructField("text", StringType()),
+            StructField("tool", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for w in range(10):
+        k = 8 if w == 8 else 2  # constant 0.2 rate, spike at window 8
+        for i in range(10):
+            rows.append(
+                (
+                    "c1",
+                    w * 10 + i,
+                    "robot" if i < k else "user",
+                    "hello",
+                    None,
+                    t0 + timedelta(minutes=w, seconds=3 * i),
+                )
+            )
+    sentinel = [("c1", 999, "user", "hello", None, t0 + timedelta(minutes=60))]
+
+    # stage 1 smoke: turns stream -> closed-window rates
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows + sentinel, schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    rates_q = (
+        windowed_rates_to_sink(stream, transcript_row_suite())
+        .writeStream.format("memory")
+        .queryName("rates_out")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    rates_q.awaitTermination(120)
+    rates = sorted(
+        spark.sql("select * from rates_out").collect(), key=lambda r: r["win_start"]
+    )
+    assert len(rates) == 10 and all(r["n_rows"] == 10 for r in rates)
+    assert rates[8]["rate"] == 0.8 and rates[0]["rate"] == 0.2
+
+    # stage 2 input: one parquet file per window so maxFilesPerTrigger=2
+    # makes five genuine micro-batches (state must carry across them)
+    rdir = str(tmp_path / "rates")
+    rschema = StructType(
+        [
+            StructField("win_start", TimestampType()),
+            StructField("n_rows", LongType()),
+            StructField("n_viol", LongType()),
+            StructField("rate", DoubleType()),
+        ]
+    )
+    for r in rates:
+        spark.createDataFrame(
+            [(r["win_start"], r["n_rows"], r["n_viol"], r["rate"])], rschema
+        ).coalesce(1).write.mode("append").parquet(rdir)
+
+    rstream = (
+        spark.readStream.schema(rschema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(rdir)
+    )
+    q = (
+        windowed_rate_anomaly_stream(rstream, baseline=7, z_threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("ra_out")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["win_start"]: r
+        for r in spark.sql("select * from ra_out").collect()
+    }
+    assert len(got) == 10
+
+    # batch closed form over the same windows (date_trunc minute == the
+    # 1-minute event-time windows; sentinel excluded — its window never closed)
+    batch_df = spark.createDataFrame(rows, schema)
+    anyf = transcript_row_suite().any_failure_column()
+    want = {
+        r["day"]: r
+        for r in rate_anomaly(
+            batch_df, F.date_trunc("minute", F.col("ts")), anyf, window=7
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for ws, g in got.items():
+        w = want[ws]
+        for c in ("n_rows", "n_viol", "rate", "mean_rate", "sd_rate", "z", "anomaly"):
+            assert g[c] == w[c], (ws, c, g[c], w[c])
+
+    # the spike is flagged exactly as in the batch pin: constant baseline,
+    # sd 0, z NULL
+    spike = got[t0 + timedelta(minutes=8)]
+    assert spike["anomaly"] is True and spike["z"] is None
